@@ -1,0 +1,347 @@
+"""Batched ray-primitive intersection (pure jnp; Pallas fast path elsewhere).
+
+TPU-first replacement for the reference's recursive scene-graph traversal
+(R3SceneNode.cpp:421-504) and pairwise `R3Intersects` dispatch
+(R3Shapes/R3Isect.cpp): every primitive type is a flat world-space array and
+intersection is a dense [rays x prims] test reduced with a running min.  The
+reference itself linearly scans triangles per TriangleArray
+(R3Isect.cpp:800-833); here that scan is a vectorized streaming reduction
+that XLA tiles onto the VPU, chunked so memory stays bounded for large
+meshes.
+
+All functions are shape-polymorphic in the ray batch B and differentiable in
+ray origins/directions (used for camera gradients).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ..scene.types import Scene
+
+INF = jnp.float32(jnp.inf)
+_DET_EPS = 1e-12
+
+
+@struct.dataclass
+class Hit:
+    """Closest-hit record for a ray batch."""
+    t: jnp.ndarray        # [B] hit distance (inf on miss)
+    point: jnp.ndarray    # [B,3]
+    normal: jnp.ndarray   # [B,3] geometric normal (outward / right-handed)
+    mat: jnp.ndarray      # [B] int32 material id (0 on miss; check .valid)
+    valid: jnp.ndarray    # [B] bool
+
+
+def _dot(a, b):
+    return jnp.sum(a * b, axis=-1)
+
+
+# --------------------------------------------------------------------------
+# Per-type [B, N] intersection kernels.  Each returns (t[B,N], ...) with
+# t = inf where there is no hit beyond t_min.
+# --------------------------------------------------------------------------
+
+def _tri_t(o, d, v0, e1, e2, t_min):
+    """Moller-Trumbore, two-sided (reference ray-triangle is two-sided,
+    R3Isect.cpp:761-796).  o,d: [B,3]; v0/e1/e2: [N,3] -> t: [B,N]."""
+    # [B,1,3] x [1,N,3]
+    o = o[:, None, :]
+    d = d[:, None, :]
+    v0, e1, e2 = v0[None], e1[None], e2[None]
+    pvec = jnp.cross(d, e2)
+    det = _dot(e1, pvec)
+    inv_det = jnp.where(jnp.abs(det) > _DET_EPS, 1.0 / det, 0.0)
+    tvec = o - v0
+    u = _dot(tvec, pvec) * inv_det
+    qvec = jnp.cross(tvec, e1)
+    v = _dot(d, qvec) * inv_det
+    t = _dot(e2, qvec) * inv_det
+    ok = ((jnp.abs(det) > _DET_EPS) & (u >= 0.0) & (v >= 0.0)
+          & (u + v <= 1.0) & (t > t_min))
+    return jnp.where(ok, t, INF)
+
+
+def _sphere_t(o, d, center, radius, t_min):
+    """Nearest positive root; returns exit hit when origin is inside
+    (matches reference Graphics-Gems behavior needed for refraction exits)."""
+    oc = o[:, None, :] - center[None]            # [B,N,3]
+    b = _dot(oc, d[:, None, :])
+    c = _dot(oc, oc) - (radius**2)[None]
+    disc = b * b - c
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    t1 = -b - sq
+    t2 = -b + sq
+    t = jnp.where(t1 > t_min, t1, t2)
+    ok = (disc > 0.0) & (t > t_min)
+    return jnp.where(ok, t, INF)
+
+
+def _box_t(o, d, lo, hi, t_min):
+    """Axis-aligned slab test; entry hit, or exit hit when inside."""
+    o_ = o[:, None, :]
+    inv = 1.0 / jnp.where(jnp.abs(d) < 1e-30, 1e-30, d)[:, None, :]
+    t0 = (lo[None] - o_) * inv
+    t1 = (hi[None] - o_) * inv
+    tsm = jnp.minimum(t0, t1)
+    tbg = jnp.maximum(t0, t1)
+    tnear = jnp.max(tsm, axis=-1)
+    tfar = jnp.min(tbg, axis=-1)
+    t = jnp.where(tnear > t_min, tnear, tfar)
+    ok = (tnear <= tfar) & (t > t_min)
+    return jnp.where(ok, t, INF)
+
+
+def _box_normal(p, lo, hi):
+    """Outward normal of the face nearest to point p on box (lo,hi): [B,3]."""
+    dl = jnp.abs(p - lo)
+    dh = jnp.abs(p - hi)
+    dmin = jnp.minimum(dl, dh)
+    axis = jnp.argmin(dmin, axis=-1)
+    sign = jnp.where(
+        jnp.take_along_axis(dh, axis[:, None], axis=-1)[:, 0]
+        < jnp.take_along_axis(dl, axis[:, None], axis=-1)[:, 0], 1.0, -1.0)
+    return jax.nn.one_hot(axis, 3, dtype=p.dtype) * sign[:, None]
+
+
+def _cylinder_t(o, d, p0, p1, radius, t_min):
+    """Capped cylinder; returns (t, normal) with t [B,N], normal [B,N,3]."""
+    axis = p1 - p0                               # [N,3]
+    h = jnp.linalg.norm(axis, axis=-1)
+    a = axis / jnp.maximum(h, 1e-30)[:, None]
+    oc = o[:, None, :] - p0[None]                # [B,N,3]
+    sd = _dot(d[:, None, :], a[None])            # [B,N]
+    sw = _dot(oc, a[None])
+    d_p = d[:, None, :] - sd[..., None] * a[None]
+    w_p = oc - sw[..., None] * a[None]
+    A = _dot(d_p, d_p)
+    B = 2.0 * _dot(w_p, d_p)
+    C = _dot(w_p, w_p) - (radius**2)[None]
+    disc = B * B - 4.0 * A * C
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    safeA = jnp.where(jnp.abs(A) < 1e-30, 1e-30, A)
+    ts1 = (-B - sq) / (2.0 * safeA)
+    ts2 = (-B + sq) / (2.0 * safeA)
+
+    def side_ok(ts):
+        s = sw + ts * sd
+        return (disc > 0.0) & (ts > t_min) & (s >= 0.0) & (s <= h[None])
+    ts1 = jnp.where(side_ok(ts1), ts1, INF)
+    ts2 = jnp.where(side_ok(ts2), ts2, INF)
+    t_side = jnp.minimum(ts1, ts2)
+
+    # caps at s=0 (normal -a) and s=h (normal +a)
+    safe_sd = jnp.where(jnp.abs(sd) < 1e-30, 1e-30, sd)
+    tc0 = -sw / safe_sd
+    tc1 = (h[None] - sw) / safe_sd
+
+    def cap_ok(tc):
+        q = oc + tc[..., None] * d[:, None, :]
+        s = _dot(q, a[None])
+        rad2 = _dot(q, q) - s * s
+        return (jnp.abs(sd) > 1e-30) & (tc > t_min) & (rad2 <= (radius**2)[None])
+    tc0 = jnp.where(cap_ok(tc0), tc0, INF)
+    tc1 = jnp.where(cap_ok(tc1), tc1, INF)
+
+    t = jnp.minimum(t_side, jnp.minimum(tc0, tc1))
+    # normal selection
+    s_hit = sw + t * sd
+    q = oc + t[..., None] * d[:, None, :]
+    n_side = q - s_hit[..., None] * a[None]
+    n_side = n_side / jnp.maximum(
+        jnp.linalg.norm(n_side, axis=-1, keepdims=True), 1e-30)
+    n = jnp.where((t == tc0)[..., None], -a[None],
+                  jnp.where((t == tc1)[..., None], a[None], n_side))
+    return t, n
+
+
+def _cone_t(o, d, p0, p1, radius, t_min):
+    """Cone: base disk at p0 (radius r), apex p1. Returns (t, normal)."""
+    axis = p1 - p0
+    h = jnp.linalg.norm(axis, axis=-1)
+    a = axis / jnp.maximum(h, 1e-30)[:, None]
+    k = radius / jnp.maximum(h, 1e-30)           # [N]
+    oc = o[:, None, :] - p0[None]
+    sd = _dot(d[:, None, :], a[None])
+    sw = _dot(oc, a[None])
+    d_p = d[:, None, :] - sd[..., None] * a[None]
+    w_p = oc - sw[..., None] * a[None]
+    r = radius[None]
+    kk = k[None]
+    A = _dot(d_p, d_p) - kk * kk * sd * sd
+    B = 2.0 * _dot(w_p, d_p) + 2.0 * r * kk * sd - 2.0 * kk * kk * sw * sd
+    C = _dot(w_p, w_p) - r * r + 2.0 * r * kk * sw - kk * kk * sw * sw
+    disc = B * B - 4.0 * A * C
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    safeA = jnp.where(jnp.abs(A) < 1e-30, 1e-30, A)
+    ts1 = (-B - sq) / (2.0 * safeA)
+    ts2 = (-B + sq) / (2.0 * safeA)
+
+    def side_ok(ts):
+        s = sw + ts * sd
+        return (disc > 0.0) & (ts > t_min) & (s >= 0.0) & (s <= h[None])
+    ts1 = jnp.where(side_ok(ts1), ts1, INF)
+    ts2 = jnp.where(side_ok(ts2), ts2, INF)
+    t_side = jnp.minimum(ts1, ts2)
+
+    # base cap at s=0, normal -a
+    safe_sd = jnp.where(jnp.abs(sd) < 1e-30, 1e-30, sd)
+    tc = -sw / safe_sd
+
+    def cap_ok(tcv):
+        q = oc + tcv[..., None] * d[:, None, :]
+        s = _dot(q, a[None])
+        rad2 = _dot(q, q) - s * s
+        return (jnp.abs(sd) > 1e-30) & (tcv > t_min) & (rad2 <= r * r)
+    tc = jnp.where(cap_ok(tc), tc, INF)
+
+    t = jnp.minimum(t_side, tc)
+    s_hit = sw + t * sd
+    q = oc + t[..., None] * d[:, None, :]
+    e = q - s_hit[..., None] * a[None]
+    e = e / jnp.maximum(jnp.linalg.norm(e, axis=-1, keepdims=True), 1e-30)
+    denom = jnp.sqrt(h * h + radius * radius)[None, :, None]
+    n_side = (e * h[None, :, None] + a[None] * radius[None, :, None]) / denom
+    n = jnp.where((t == tc)[..., None], -a[None] * jnp.ones_like(q), n_side)
+    return t, n
+
+
+def _circle_t(o, d, center, normal, radius, t_min):
+    nd = _dot(d[:, None, :], normal[None])       # [B,N]
+    safe = jnp.where(jnp.abs(nd) < 1e-30, 1e-30, nd)
+    t = _dot(center[None] - o[:, None, :], normal[None]) / safe
+    q = o[:, None, :] + t[..., None] * d[:, None, :] - center[None]
+    ok = (jnp.abs(nd) > 1e-30) & (t > t_min) & (_dot(q, q) <= (radius**2)[None])
+    return jnp.where(ok, t, INF)
+
+
+# --------------------------------------------------------------------------
+# Chunked closest-hit over triangle soup (bounded memory for big meshes)
+# --------------------------------------------------------------------------
+
+def _tri_closest(o, d, tris, t_min, chunk=2048):
+    """Returns (t[B], idx[B]) of nearest triangle (idx valid only if t<inf)."""
+    N = tris.v0.shape[0]
+    B = o.shape[0]
+    if N == 0:
+        return jnp.full((B,), INF), jnp.zeros((B,), jnp.int32)
+    if N <= chunk:
+        t_all = _tri_t(o, d, tris.v0, tris.e1, tris.e2, t_min)
+        idx = jnp.argmin(t_all, axis=1).astype(jnp.int32)
+        return jnp.min(t_all, axis=1), idx
+    # pad to multiple of chunk and scan
+    pad = (-N) % chunk
+    v0 = jnp.pad(tris.v0, ((0, pad), (0, 0)))
+    e1 = jnp.pad(tris.e1, ((0, pad), (0, 0)), constant_values=0.0)
+    e2 = jnp.pad(tris.e2, ((0, pad), (0, 0)), constant_values=0.0)
+    n_chunks = (N + pad) // chunk
+    v0 = v0.reshape(n_chunks, chunk, 3)
+    e1 = e1.reshape(n_chunks, chunk, 3)
+    e2 = e2.reshape(n_chunks, chunk, 3)
+
+    def body(carry, blk):
+        best_t, best_i = carry
+        bv0, be1, be2, base = blk
+        t_all = _tri_t(o, d, bv0, be1, be2, t_min)
+        ti = jnp.min(t_all, axis=1)
+        ii = jnp.argmin(t_all, axis=1).astype(jnp.int32) + base
+        closer = ti < best_t
+        return (jnp.where(closer, ti, best_t),
+                jnp.where(closer, ii, best_i)), None
+
+    bases = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
+    init = (jnp.full((B,), INF), jnp.zeros((B,), jnp.int32))
+    (t, i), _ = jax.lax.scan(body, init, (v0, e1, e2, bases))
+    return t, i
+
+
+# --------------------------------------------------------------------------
+# Public API
+# --------------------------------------------------------------------------
+
+def intersect_scene(scene: Scene, o: jnp.ndarray, d: jnp.ndarray,
+                    t_min: float = 0.0) -> Hit:
+    """Closest hit of rays (o, d) against every primitive in the scene.
+
+    Equivalent of `R3Scene::Intersects` (R3Scene ray query) but batched:
+    o, d are [B,3] (d unit).  Static Python branches skip empty primitive
+    arrays, so each scene compiles to exactly the kernels it needs.
+    """
+    B = o.shape[0]
+    best_t = jnp.full((B,), INF)
+    best_n = jnp.zeros((B, 3))
+    best_m = jnp.zeros((B,), jnp.int32)
+
+    def merge(best, t, n, m):
+        bt, bn, bm = best
+        closer = t < bt
+        return (jnp.where(closer, t, bt),
+                jnp.where(closer[:, None], n, bn),
+                jnp.where(closer, m, bm))
+
+    best = (best_t, best_n, best_m)
+
+    if scene.tris.v0.shape[0] > 0:
+        t, idx = _tri_closest(o, d, scene.tris, t_min)
+        n = scene.tris.normal[idx]
+        m = scene.tris.mat[idx]
+        best = merge(best, t, n, m)
+
+    if scene.spheres.center.shape[0] > 0:
+        t_all = _sphere_t(o, d, scene.spheres.center, scene.spheres.radius,
+                          t_min)
+        idx = jnp.argmin(t_all, axis=1)
+        t = jnp.min(t_all, axis=1)
+        p = o + t[:, None] * d
+        c = scene.spheres.center[idx]
+        r = scene.spheres.radius[idx]
+        n = (p - c) / jnp.maximum(r, 1e-30)[:, None]
+        best = merge(best, t, n, scene.spheres.mat[idx])
+
+    if scene.boxes.lo.shape[0] > 0:
+        t_all = _box_t(o, d, scene.boxes.lo, scene.boxes.hi, t_min)
+        idx = jnp.argmin(t_all, axis=1)
+        t = jnp.min(t_all, axis=1)
+        p = o + t[:, None] * d
+        n = _box_normal(p, scene.boxes.lo[idx], scene.boxes.hi[idx])
+        best = merge(best, t, n, scene.boxes.mat[idx])
+
+    if scene.cylinders.p0.shape[0] > 0:
+        t_all, n_all = _cylinder_t(o, d, scene.cylinders.p0,
+                                   scene.cylinders.p1,
+                                   scene.cylinders.radius, t_min)
+        idx = jnp.argmin(t_all, axis=1)
+        t = jnp.min(t_all, axis=1)
+        n = jnp.take_along_axis(n_all, idx[:, None, None], axis=1)[:, 0]
+        best = merge(best, t, n, scene.cylinders.mat[idx])
+
+    if scene.cones.p0.shape[0] > 0:
+        t_all, n_all = _cone_t(o, d, scene.cones.p0, scene.cones.p1,
+                               scene.cones.radius, t_min)
+        idx = jnp.argmin(t_all, axis=1)
+        t = jnp.min(t_all, axis=1)
+        n = jnp.take_along_axis(n_all, idx[:, None, None], axis=1)[:, 0]
+        best = merge(best, t, n, scene.cones.mat[idx])
+
+    if scene.circles.center.shape[0] > 0:
+        t_all = _circle_t(o, d, scene.circles.center, scene.circles.normal,
+                          scene.circles.radius, t_min)
+        idx = jnp.argmin(t_all, axis=1)
+        t = jnp.min(t_all, axis=1)
+        n = scene.circles.normal[idx]
+        best = merge(best, t, n, scene.circles.mat[idx])
+
+    t, n, m = best
+    valid = jnp.isfinite(t)
+    t_safe = jnp.where(valid, t, 0.0)
+    point = o + t_safe[:, None] * d
+    return Hit(t=t, point=point, normal=n, mat=m, valid=valid)
+
+
+def intersection_dist(scene: Scene, o: jnp.ndarray, d: jnp.ndarray,
+                      t_min: float = 0.0) -> jnp.ndarray:
+    """Distance to nearest hit (inf on miss) — reference `IntersectionDist`
+    (graphics_utils.cpp:84-92), used by shadow-ray occlusion tests."""
+    return intersect_scene(scene, o, d, t_min=t_min).t

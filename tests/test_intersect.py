@@ -1,0 +1,150 @@
+"""Intersection kernels vs closed-form oracles and random brute force."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from gi_tpu.ops import intersect as I
+from gi_tpu.scene.scn import load_scene
+from gi_tpu.scene.types import Scene, build_scene
+
+
+def _mini_scene(**kw):
+    """Build a scene with given primitive dicts (others empty)."""
+    z3 = np.zeros((0, 3))
+    z = np.zeros(0)
+    defaults = dict(
+        tris_np=dict(v0=z3, e1=z3, e2=z3, normal=z3, mat=z),
+        spheres_np=dict(center=z3, radius=z, mat=z),
+        boxes_np=dict(lo=z3, hi=z3, mat=z),
+        cylinders_np=dict(p0=z3, p1=z3, radius=z, mat=z),
+        cones_np=dict(p0=z3, p1=z3, radius=z, mat=z),
+        circles_np=dict(center=z3, normal=z3, radius=z, mat=z),
+        materials_np=dict(ka=np.zeros((1, 3)), kd=np.ones((1, 3)),
+                          ks=np.zeros((1, 3)), kt=np.zeros((1, 3)),
+                          emission=np.zeros((1, 3)), shininess=np.ones(1),
+                          ir=np.ones(1)),
+        lights_np=dict(kind=z, color=z3, position=z3, direction=z3, radius=z,
+                       axis1=z3, axis2=z3, len1=z, len2=z, ca=z, la=z, qa=z,
+                       cutoff=z, dropoff=z, intensity=z),
+        camera_np=dict(eye=np.zeros(3), towards=[0, 0, 1], up=[0, 1, 0],
+                       right=[1, 0, 0], xfov=0.5, yfov=0.5, neardist=0.01,
+                       fardist=100.0),
+        ambient=np.zeros(3), background=np.zeros(3),
+    )
+    defaults.update(kw)
+    return build_scene(**defaults)
+
+
+def _rays(o_list, d_list):
+    o = jnp.asarray(np.asarray(o_list, np.float32).reshape(-1, 3))
+    d = np.asarray(d_list, np.float64).reshape(-1, 3)
+    d = d / np.linalg.norm(d, axis=1, keepdims=True)
+    return o, jnp.asarray(d.astype(np.float32))
+
+
+def test_sphere_entry_exit():
+    s = _mini_scene(spheres_np=dict(center=[[0, 0, 5]], radius=[1.0], mat=[0]))
+    o, d = _rays([[0, 0, 0], [0, 0, 5], [0, 3, 0]],
+                 [[0, 0, 1], [0, 0, 1], [0, 0, 1]])
+    h = I.intersect_scene(s, o, d)
+    np.testing.assert_allclose(h.t[0], 4.0, rtol=1e-5)        # entry
+    np.testing.assert_allclose(h.t[1], 1.0, rtol=1e-5)        # inside -> exit
+    assert not bool(h.valid[2])                                # miss
+    np.testing.assert_allclose(np.asarray(h.normal[0]), [0, 0, -1], atol=1e-5)
+    np.testing.assert_allclose(np.asarray(h.normal[1]), [0, 0, 1], atol=1e-5)
+
+
+def test_triangle_two_sided():
+    tri = dict(v0=[[-1, -1, 3]], e1=[[2, 0, 0]], e2=[[0, 2, 0]],
+               normal=[[0, 0, 1]], mat=[0])
+    s = _mini_scene(tris_np=tri)
+    o, d = _rays([[0, 0, 0], [0, 0, 6], [5, 5, 0]],
+                 [[0, 0, 1], [0, 0, -1], [0, 0, 1]])
+    h = I.intersect_scene(s, o, d)
+    np.testing.assert_allclose(h.t[0], 3.0, rtol=1e-5)
+    np.testing.assert_allclose(h.t[1], 3.0, rtol=1e-5)   # hit from behind
+    assert not bool(h.valid[2])
+
+
+def test_box_entry_exit_normals():
+    s = _mini_scene(boxes_np=dict(lo=[[-1, -1, 2]], hi=[[1, 1, 4]], mat=[0]))
+    o, d = _rays([[0, 0, 0], [0, 0, 3]], [[0, 0, 1], [0, 0, 1]])
+    h = I.intersect_scene(s, o, d)
+    np.testing.assert_allclose(h.t[0], 2.0, rtol=1e-5)
+    np.testing.assert_allclose(h.t[1], 1.0, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(h.normal[0]), [0, 0, -1], atol=1e-5)
+    np.testing.assert_allclose(np.asarray(h.normal[1]), [0, 0, 1], atol=1e-5)
+
+
+def test_cylinder_side_and_caps():
+    s = _mini_scene(cylinders_np=dict(p0=[[0, -1, 5]], p1=[[0, 1, 5]],
+                                      radius=[1.0], mat=[0]))
+    o, d = _rays([[0, 0, 0], [0, 5, 5], [3, 5, 5]],
+                 [[0, 0, 1], [0, -1, 0], [0, -1, 0]])
+    h = I.intersect_scene(s, o, d)
+    np.testing.assert_allclose(h.t[0], 4.0, rtol=1e-5)       # side
+    np.testing.assert_allclose(h.t[1], 4.0, rtol=1e-5)       # top cap
+    np.testing.assert_allclose(np.asarray(h.normal[1]), [0, 1, 0], atol=1e-5)
+    assert not bool(h.valid[2])
+
+
+def test_cone_side_and_base():
+    # base at y=0 radius 1, apex at (0,2,0)
+    s = _mini_scene(cones_np=dict(p0=[[0, 0, 5]], p1=[[0, 2, 5]],
+                                  radius=[1.0], mat=[0]))
+    o, d = _rays([[0, 1, 0], [0, -5, 5], [0, 1.9, 0]],
+                 [[0, 0, 1], [0, 1, 0], [0, 0, 1]])
+    h = I.intersect_scene(s, o, d)
+    # at y=1, cone radius = 0.5 -> ray along z hits at z = 5 - 0.5
+    np.testing.assert_allclose(h.t[0], 4.5, rtol=1e-4)
+    np.testing.assert_allclose(h.t[1], 5.0, rtol=1e-5)       # base cap
+    np.testing.assert_allclose(h.t[2], 5.0 - 0.05, rtol=1e-3)
+
+
+def test_circle_disk():
+    s = _mini_scene(circles_np=dict(center=[[0, 0, 2]], normal=[[0, 0, 1]],
+                                    radius=[1.0], mat=[0]))
+    o, d = _rays([[0.5, 0, 0], [1.5, 0, 0]], [[0, 0, 1], [0, 0, 1]])
+    h = I.intersect_scene(s, o, d)
+    np.testing.assert_allclose(h.t[0], 2.0, rtol=1e-5)
+    assert not bool(h.valid[1])
+
+
+def test_chunked_triangle_scan_matches_dense():
+    rng = np.random.default_rng(0)
+    N = 5000  # > chunk size forces the scan path
+    v0 = rng.uniform(-5, 5, (N, 3))
+    e1 = rng.uniform(-1, 1, (N, 3))
+    e2 = rng.uniform(-1, 1, (N, 3))
+    n = np.cross(e1, e2)
+    n /= np.maximum(np.linalg.norm(n, axis=1, keepdims=True), 1e-30)
+    tris = dict(v0=v0, e1=e1, e2=e2, normal=n, mat=np.zeros(N))
+    s = _mini_scene(tris_np=tris)
+    B = 64
+    o = jnp.asarray(rng.uniform(-6, 6, (B, 3)).astype(np.float32))
+    d = rng.normal(size=(B, 3))
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    d = jnp.asarray(d.astype(np.float32))
+    t_scan, _ = I._tri_closest(o, d, s.tris, 0.0, chunk=512)
+    t_all = I._tri_t(o, d, s.tris.v0, s.tris.e1, s.tris.e2, 0.0)
+    t_dense = jnp.min(t_all, axis=1)
+    np.testing.assert_allclose(np.asarray(t_scan), np.asarray(t_dense),
+                               rtol=1e-6)
+
+
+def test_cornell_center_ray(cornell_scene):
+    """Ray through the cornell camera axis hits the back wall at z=1.1184."""
+    s = cornell_scene
+    o = jnp.asarray(np.array([[0.556, 0.546, -1.6]], np.float32))
+    d = jnp.asarray(np.array([[0, 0, 1]], np.float32))
+    h = I.intersect_scene(s, o, d)
+    assert bool(h.valid[0])
+    np.testing.assert_allclose(float(h.point[0, 2]), 1.1184, rtol=1e-4)
+    # a ray toward the glass sphere center hits the sphere first
+    c = np.array([0.2, 0.151, 0.55])
+    dirv = c - np.array([0.556, 0.546, -1.6])
+    dirv /= np.linalg.norm(dirv)
+    h2 = I.intersect_scene(s, o, jnp.asarray(dirv[None].astype(np.float32)))
+    sm = int(h2.mat[0])
+    kt = np.asarray(s.materials.kt[sm])
+    assert kt.max() > 0.5  # transparent glass material
