@@ -1,0 +1,361 @@
+"""Wavefront Monte Carlo path tracing.
+
+The reference nests whole recursive path traces inside per-hit sample loops
+(raytracer.cpp:47-135 spawning montecarlo.cpp:16-305, which recurses back
+into DirectIllumination/CausticIllumination).  That megakernel recursion is
+flattened here into ONE batched walk: every secondary sample (transmissive /
+specular / indirect) becomes a lane in a ray stream; a per-lane `phase` bit
+distinguishes `MonteCarlo_PathTrace` lanes (shade direct+caustic each bounce)
+from `MonteCarlo_IndirectSample` lanes (walk silently to the first diffuse
+hit, then estimate the global photon map); Russian-roulette branching is a
+masked select; the walk runs under `lax.while_loop` until every lane dies or
+the static depth cap (cfg.max_monte_depth) is reached.
+
+Estimator notes (bug-for-bug parity with the reference):
+  * sample counts are static (cfg.*_test) instead of the reference's
+    per-material ceil((TEST*w + TEST)/2) in [TEST/2, TEST] — same estimator
+    mean, marginally lower variance per sample count.
+  * the diffuse->indirect transition multiplies kd TWICE (raytracer.cpp:134
+    then montecarlo.cpp:115), which we replicate.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ..ops import sampling as S
+from ..ops.intersect import intersect_scene
+from ..photon import gather
+from ..scene.types import Scene
+from ..utils.config import RenderConfig
+from .direct import shade_direct
+
+PHASE_PATH = 0      # MonteCarlo_PathTrace semantics
+PHASE_INDIRECT = 1  # MonteCarlo_IndirectSample semantics
+
+
+@struct.dataclass
+class WalkState:
+    key: jnp.ndarray
+    o: jnp.ndarray        # [B,3] ray origin
+    d: jnp.ndarray        # [B,3] ray direction
+    weight: jnp.ndarray   # [B,3] path throughput
+    phase: jnp.ndarray    # [B] int32
+    alive: jnp.ndarray    # [B] bool
+    color: jnp.ndarray    # [B,3] accumulated radiance
+    depth: jnp.ndarray    # [] int32
+
+
+def _bounce_eps(scene):
+    return 1e-4 * scene.radius
+
+
+def mc_walk(scene: Scene, cfg: RenderConfig, key, o, d, weight, phase, alive,
+            photon_maps) -> jnp.ndarray:
+    """Run the wavefront walk; returns accumulated color [B,3]."""
+    B = o.shape[0]
+    state = WalkState(
+        key=key, o=o, d=d, weight=weight,
+        phase=phase.astype(jnp.int32), alive=alive,
+        color=jnp.zeros((B, 3)), depth=jnp.asarray(0, jnp.int32))
+
+    def cond(s: WalkState):
+        return (s.depth < cfg.max_monte_depth) & jnp.any(s.alive)
+
+    def body(s: WalkState):
+        key, k_dir, k_rr, k_spec = jax.random.split(s.key, 4)
+        hit = intersect_scene(scene, s.o, s.d, t_min=0.0)
+        mats = scene.materials
+
+        # ---- miss: background, die (montecarlo.cpp:165-169,299-303) ----
+        miss = s.alive & ~hit.valid
+        color = s.color + jnp.where(miss[:, None],
+                                    s.weight * scene.background, 0.0)
+        live = s.alive & hit.valid
+
+        kd = mats.kd[hit.mat]
+        ks = mats.ks[hit.mat]
+        kt = mats.kt[hit.mat]
+        emis = mats.emission[hit.mat]
+        shin = mats.shininess[hit.mat]
+        ir = mats.ir[hit.mat]
+        is_transp = jnp.any(kt > 0, axis=-1)
+
+        view = S.normalize(hit.point - s.o)
+        cos_theta = S.dot(hit.normal, -view)
+        in_path = live & (s.phase == PHASE_PATH)
+
+        # ---- per-bounce shading for PathTrace lanes --------------------
+        if cfg.monte_carlo:
+            buffer = jnp.zeros((B, 3))
+            if cfg.ambient:
+                buffer = buffer + scene.background * 0.0 + scene.ambient
+            key, k_direct = jax.random.split(key)
+            buffer = shade_direct(scene, cfg, k_direct, hit, s.o, buffer,
+                                  in_monte_carlo=True)
+            if cfg.caustic_illum and photon_maps is not None \
+                    and photon_maps.caustic is not None:
+                exact = S.reflective_bounce(hit.normal, view, cos_theta)
+                caus = gather.estimate_radiance(
+                    photon_maps.caustic, hit.point, hit.normal, exact,
+                    cos_theta, kd, ks, shin,
+                    cfg.caustic_estimate_size, cfg.caustic_estimate_dist,
+                    cfg.caustic_filter, cfg)
+                is_d_ = jnp.any(kd > 0, axis=-1)
+                buffer = buffer + jnp.where(is_d_[:, None], caus, 0.0)
+            color = color + jnp.where(in_path[:, None], buffer * s.weight, 0.0)
+
+        # ---- Russian roulette branch selection -------------------------
+        r_coeff = jnp.zeros((B,))
+        if cfg.fresnel:
+            # phase0 gating: SPECULAR && TRANSMISSIVE (montecarlo.cpp:89);
+            # phase1 gating: FRESNEL only (montecarlo.cpp:226)
+            rc = S.compute_reflection_coeff(cos_theta, ir, cfg.ir_air)
+            use0 = (cfg.specular_illum and cfg.transmissive_illum)
+            gate = jnp.where(s.phase == PHASE_PATH,
+                             jnp.asarray(use0), jnp.asarray(True))
+            r_coeff = jnp.where(gate & is_transp, rc, 0.0)
+
+        prob_d = S.max_channel(kd)
+        prob_t0 = S.max_channel(kt)
+        prob_s = S.max_channel(ks) + r_coeff * prob_t0
+        prob_t = prob_t0 * (1.0 - r_coeff)
+        prob_term = S.max_channel(emis) + cfg.prob_absorb
+        prob_total = prob_d + prob_t + prob_s + prob_term
+
+        u = jax.random.uniform(k_rr, (B,))
+        rand = jnp.where(prob_total > 1.0, u * prob_total, u)
+
+        take_d = rand < prob_d
+        take_t = (~take_d) & (rand < prob_d + prob_t)
+        take_s = (~take_d) & (~take_t) & (rand < prob_d + prob_t + prob_s)
+
+        # ---- diffuse branch --------------------------------------------
+        # PathTrace lanes: transition to the indirect walk (if INDIRECT) or
+        # gather the global map (FAST_GLOBAL), else die.
+        # IndirectSample lanes: gather the global map and die.
+        u_dir = jax.random.uniform(k_dir, (B, 2))
+        cosine_dir = S.diffuse_importance_sample(hit.normal, cos_theta,
+                                                 u_dir[:, 0], u_dir[:, 1])
+        safe_pd = jnp.maximum(prob_d, 1e-12)
+
+        glob_est = None
+        if photon_maps is not None and photon_maps.global_ is not None:
+            exact = S.reflective_bounce(hit.normal, view, cos_theta)
+            if cfg.irradiance_cache:
+                glob_est = gather.estimate_cached_radiance(
+                    photon_maps.global_, hit.point, hit.normal, exact,
+                    cos_theta, kd, ks, shin, cfg.global_estimate_dist)
+            else:
+                glob_est = gather.estimate_radiance(
+                    photon_maps.global_, hit.point, hit.normal, exact,
+                    cos_theta, kd, ks, shin, cfg.global_estimate_size,
+                    cfg.global_estimate_dist, cfg.global_filter, cfg)
+
+        new_phase = s.phase
+        new_weight = s.weight
+        new_d = s.d
+        die = jnp.zeros((B,), bool)
+
+        d_path = take_d & in_path
+        d_ind = take_d & live & (s.phase == PHASE_INDIRECT)
+
+        if cfg.indirect_illum and cfg.monte_carlo:
+            # IndirectIllumination inside MC: weight *= kd^2 / prob_d
+            # (raytracer.cpp:134 + montecarlo.cpp:115), new cosine direction,
+            # lane becomes an IndirectSample walk.
+            trans = d_path
+            new_phase = jnp.where(trans, PHASE_INDIRECT, new_phase)
+            new_weight = jnp.where(trans[:, None],
+                                   s.weight * kd * kd / safe_pd[:, None],
+                                   new_weight)
+            new_d = jnp.where(trans[:, None], cosine_dir, new_d)
+        elif cfg.fast_global and glob_est is not None:
+            color = color + jnp.where(
+                d_path[:, None],
+                glob_est * kd * s.weight / safe_pd[:, None], 0.0)
+            die = die | d_path
+        else:
+            die = die | d_path
+
+        if glob_est is not None:
+            color = color + jnp.where(
+                d_ind[:, None],
+                glob_est * kd * s.weight / safe_pd[:, None], 0.0)
+        die = die | d_ind
+
+        # ---- transmissive branch ---------------------------------------
+        t_act = take_t & live
+        if cfg.transmissive_illum or True:
+            # phase0 requires TRANSMISSIVE_ILLUM (montecarlo.cpp:123);
+            # phase1 (IndirectSample) has no such check (montecarlo.cpp:261)
+            allowed = (jnp.asarray(cfg.transmissive_illum)
+                       | (s.phase == PHASE_INDIRECT))
+            t_go = t_act & allowed
+            exact_t = S.transmissive_bounce(hit.normal, view, cos_theta, ir,
+                                            cfg.ir_air)
+            if cfg.distrib_transmissive:
+                u_s = jax.random.uniform(k_spec, (B, 2))
+                sampled_t = S.specular_importance_sample(
+                    exact_t, shin, cos_theta, u_s[:, 0], u_s[:, 1])
+            else:
+                sampled_t = exact_t
+            safe_pt = jnp.maximum(prob_t, 1e-12)
+            new_d = jnp.where(t_go[:, None], sampled_t, new_d)
+            new_weight = jnp.where(
+                t_go[:, None],
+                new_weight * (1.0 - r_coeff[:, None]) * kt / safe_pt[:, None],
+                new_weight)
+            die = die | (t_act & ~allowed)
+
+        # ---- specular branch -------------------------------------------
+        s_act = take_s & live
+        allowed = (jnp.asarray(cfg.specular_illum)
+                   | (s.phase == PHASE_INDIRECT))
+        s_go = s_act & allowed
+        exact_s = S.reflective_bounce(hit.normal, view, cos_theta)
+        if cfg.distrib_specular:
+            key, k_spec2 = jax.random.split(key)
+            u_s = jax.random.uniform(k_spec2, (B, 2))
+            sampled_s = S.specular_importance_sample(
+                exact_s, shin, cos_theta, u_s[:, 0], u_s[:, 1])
+        else:
+            sampled_s = exact_s
+        safe_ps = jnp.maximum(prob_s, 1e-12)
+        new_d = jnp.where(s_go[:, None], sampled_s, new_d)
+        new_weight = jnp.where(
+            s_go[:, None],
+            new_weight * (ks + r_coeff[:, None] * kt) / safe_ps[:, None],
+            new_weight)
+        die = die | (s_act & ~allowed)
+
+        # ---- absorb / terminate ----------------------------------------
+        absorbed = live & ~take_d & ~take_t & ~take_s
+        die = die | absorbed
+
+        alive = live & ~die
+        new_o = jnp.where(alive[:, None],
+                          hit.point + new_d * _bounce_eps(scene), s.o)
+        return WalkState(key=key, o=new_o, d=new_d, weight=new_weight,
+                         phase=new_phase, alive=alive, color=color,
+                         depth=s.depth + 1)
+
+    final = jax.lax.while_loop(cond, body, state)
+    return final.color
+
+
+def shade_secondary(scene: Scene, cfg: RenderConfig, key, hit, ray_o, ray_d,
+                    color, photon_maps):
+    """Secondary layers of RayTrace (raytracer.cpp:204-231): transmissive +
+    specular + indirect sample batches (one fused walk) and the direct
+    caustic / global-map estimates at the primary hit."""
+    mats = scene.materials
+    B = hit.t.shape[0]
+    kd = mats.kd[hit.mat]
+    ks = mats.ks[hit.mat]
+    kt = mats.kt[hit.mat]
+    shin = mats.shininess[hit.mat]
+    ir = mats.ir[hit.mat]
+    is_d = jnp.any(kd > 0, axis=-1)
+    is_s = jnp.any(ks > 0, axis=-1)
+    is_t = jnp.any(kt > 0, axis=-1)
+
+    view = S.normalize(hit.point - ray_o)
+    cos_theta = S.dot(hit.normal, -view)
+    eps = _bounce_eps(scene)
+
+    # Fresnel split at the primary hit (raytracer.cpp:204-214)
+    r_coeff = jnp.zeros((B,))
+    if (cfg.transmissive_illum and cfg.specular_illum and cfg.fresnel):
+        r_coeff = jnp.where(
+            is_t, S.compute_reflection_coeff(cos_theta, ir, cfg.ir_air), 0.0)
+
+    groups = []  # (o, d, weight_per_sample, phase, alive, ns, total_weight)
+
+    def spawn(k, ns, exact_or_none, phase, active, total_w, distrib):
+        """Build ns samples per ray for one secondary group."""
+        u = jax.random.uniform(k, (B, ns, 2))
+        if exact_or_none is None:
+            dirs = S.diffuse_importance_sample(
+                hit.normal[:, None], cos_theta[:, None],
+                u[..., 0], u[..., 1])
+        elif distrib:
+            dirs = S.specular_importance_sample(
+                exact_or_none[:, None], shin[:, None], cos_theta[:, None],
+                u[..., 0], u[..., 1])
+        else:
+            dirs = jnp.broadcast_to(exact_or_none[:, None], (B, ns, 3))
+        o2 = hit.point[:, None] + dirs * eps
+        w = jnp.ones((B, ns, 3))
+        ph = jnp.full((B, ns), phase, jnp.int32)
+        al = jnp.broadcast_to(active[:, None], (B, ns))
+        groups.append((o2.reshape(-1, 3), dirs.reshape(-1, 3),
+                       w.reshape(-1, 3), ph.reshape(-1), al.reshape(-1),
+                       ns, total_w, active))
+
+    if cfg.transmissive_illum and cfg.monte_carlo:
+        key, k = jax.random.split(key)
+        exact_t = S.transmissive_bounce(hit.normal, view, cos_theta, ir,
+                                        cfg.ir_air)
+        active = hit.valid & is_t & (r_coeff < 1.0)
+        total_w = (1.0 - r_coeff)[:, None] * kt
+        spawn(k, cfg.transmissive_test, exact_t, PHASE_PATH, active, total_w,
+              cfg.distrib_transmissive)
+
+    if cfg.specular_illum and cfg.monte_carlo:
+        key, k = jax.random.split(key)
+        exact_s = S.reflective_bounce(hit.normal, view, cos_theta)
+        active = hit.valid & (is_s | (r_coeff > 0))
+        total_w = kt * r_coeff[:, None] + ks
+        spawn(k, cfg.specular_test, exact_s, PHASE_PATH, active, total_w,
+              cfg.distrib_specular)
+
+    if cfg.indirect_illum:
+        key, k = jax.random.split(key)
+        active = hit.valid & is_d
+        spawn(k, cfg.indirect_test, None, PHASE_INDIRECT, active, kd, False)
+
+    if groups:
+        o2 = jnp.concatenate([g[0] for g in groups])
+        d2 = jnp.concatenate([g[1] for g in groups])
+        w2 = jnp.concatenate([g[2] for g in groups])
+        ph2 = jnp.concatenate([g[3] for g in groups])
+        al2 = jnp.concatenate([g[4] for g in groups])
+        key, k_walk = jax.random.split(key)
+        walked = mc_walk(scene, cfg, k_walk, o2, d2, w2, ph2, al2,
+                         photon_maps)
+        ofs = 0
+        for (_, _, _, _, _, ns, total_w, active) in groups:
+            part = walked[ofs:ofs + B * ns].reshape(B, ns, 3).mean(axis=1)
+            color = color + jnp.where(active[:, None], part * total_w, 0.0)
+            ofs += B * ns
+
+    # Caustic estimate at the primary hit (raytracer.cpp:138-149)
+    if cfg.caustic_illum and photon_maps is not None \
+            and photon_maps.caustic is not None:
+        exact = S.reflective_bounce(hit.normal, view, cos_theta)
+        caus = gather.estimate_radiance(
+            photon_maps.caustic, hit.point, hit.normal, exact, cos_theta,
+            kd, ks, shin, cfg.caustic_estimate_size,
+            cfg.caustic_estimate_dist, cfg.caustic_filter, cfg)
+        color = color + jnp.where((hit.valid & is_d)[:, None], caus, 0.0)
+
+    # Direct photon-map visualization / fast-global layer
+    # (raytracer.cpp:151-167, gated by -photon_viz/-fast_global)
+    if cfg.direct_photon_illum and photon_maps is not None \
+            and photon_maps.global_ is not None:
+        exact = S.reflective_bounce(hit.normal, view, cos_theta)
+        if cfg.irradiance_cache:
+            g = gather.estimate_cached_radiance(
+                photon_maps.global_, hit.point, hit.normal, exact, cos_theta,
+                kd, ks, shin, cfg.global_estimate_dist)
+        else:
+            g = gather.estimate_radiance(
+                photon_maps.global_, hit.point, hit.normal, exact, cos_theta,
+                kd, ks, shin, cfg.global_estimate_size,
+                cfg.global_estimate_dist, cfg.global_filter, cfg)
+        color = color + jnp.where((hit.valid & is_d)[:, None], g, 0.0)
+
+    return color

@@ -1,0 +1,99 @@
+"""Frame renderer: the reference's threaded pixel loop (render.cpp:48-221)
+re-expressed as jitted wavefront tiles.
+
+The reference gives thread k the pixel columns i % THREADS == k and loops
+pixels serially; here a tile of pixel indices becomes one batched program:
+eye-ray generation (incl. DOF sample dim) -> closest hit -> shading -> DOF
+mean, jitted once and swept over the framebuffer by a host loop.  Supersampled
+anti-aliasing (2^aa per axis + clamp + box filter, render.cpp:173-221) is done
+on the full supersampled buffer at the end.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.intersect import intersect_scene
+from ..scene.types import Scene
+from ..utils.config import RenderConfig
+from . import montecarlo
+from .camera import eye_rays
+from .direct import shade_direct
+
+
+def shade_hits(scene: Scene, cfg: RenderConfig, key, hit, ray_o, ray_d,
+               photon_maps=None) -> jnp.ndarray:
+    """Per-hit shading decomposition — reference RayTrace
+    (raytracer.cpp:174-233): ambient + direct + transmissive + specular +
+    indirect + caustic (+ photon visualization), each gated by config."""
+    mats = scene.materials
+    B = hit.t.shape[0]
+    color = jnp.zeros((B, 3))
+
+    ka = mats.ka[hit.mat]
+    kd = mats.kd[hit.mat]
+    ks = mats.ks[hit.mat]
+    kt = mats.kt[hit.mat]
+
+    if cfg.ambient:
+        # global ambient + material ambient (raytracer.cpp:181-199)
+        is_amb = jnp.any(ka > 0, axis=-1)
+        color = color + scene.ambient + jnp.where(is_amb[:, None], ka, 0.0)
+
+    if cfg.direct_illum:
+        key, sub = jax.random.split(key)
+        color = shade_direct(scene, cfg, sub, hit, ray_o, color,
+                             in_monte_carlo=False)
+
+    # Secondary terms (Monte Carlo / photon map layers)
+    color = montecarlo.shade_secondary(scene, cfg, key, hit, ray_o, ray_d,
+                                       color, photon_maps)
+
+    return jnp.where(hit.valid[:, None], color, scene.background)
+
+
+@partial(jax.jit, static_argnames=("cfg", "width", "height"))
+def render_tile(scene: Scene, cfg: RenderConfig, key, pixel_idx: jnp.ndarray,
+                width: int, height: int, photon_maps=None) -> jnp.ndarray:
+    """Render a tile of supersampled pixels -> [B,3] colors (DOF-averaged)."""
+    n_dof = cfg.dof_test if cfg.depth_of_field else 1
+    key_dof, key_shade = jax.random.split(key)
+    o, d = eye_rays(scene, cfg, key_dof, pixel_idx, width, height, n_dof)
+    B = pixel_idx.shape[0]
+    o = o.reshape(B * n_dof, 3)
+    d = d.reshape(B * n_dof, 3)
+    hit = intersect_scene(scene, o, d, t_min=0.0)
+    color = shade_hits(scene, cfg, key_shade, hit, o, d, photon_maps)
+    return color.reshape(B, n_dof, 3).mean(axis=1)
+
+
+def render_image(scene: Scene, cfg: RenderConfig, photon_maps=None,
+                 progress=None) -> np.ndarray:
+    """Render the full image; returns [H,W,3] float (row 0 = bottom)."""
+    aa_factor = 2 ** cfg.aa
+    sw, sh = cfg.width * aa_factor, cfg.height * aa_factor
+    total = sw * sh
+    tile = min(cfg.ray_tile, total)
+
+    key = jax.random.PRNGKey(cfg.seed)
+    fb = np.zeros((total, 3), np.float32)
+    n_tiles = (total + tile - 1) // tile
+    for t in range(n_tiles):
+        start = t * tile
+        idx = (start + jnp.arange(tile, dtype=jnp.int32)) % total
+        key, sub = jax.random.split(key)
+        out = np.asarray(render_tile(scene, cfg, sub, idx, sw, sh,
+                                     photon_maps))
+        end = min(start + tile, total)
+        fb[start:end] = out[: end - start]
+        if progress is not None:
+            progress((t + 1) / n_tiles)
+
+    # Clamp each supersample, then box-filter down (render.cpp:204-221)
+    img = np.clip(fb.reshape(sh, sw, 3), 0.0, 1.0)
+    img = img.reshape(cfg.height, aa_factor, cfg.width, aa_factor, 3)
+    return img.mean(axis=(1, 3))

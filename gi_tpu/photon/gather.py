@@ -1,0 +1,304 @@
+"""Photon storage + radiance estimation on a sorted spatial-hash grid.
+
+TPU-native replacement for the reference's pointer-chasing kd-tree kNN
+(R3Kdtree::FindClosestQuick, R3Kdtree.cpp:690-788) and the radiance
+estimators in photon_utils.cpp:72-246.  Photons are bucketed into a uniform
+grid with cell size = the query radius cap (estimate_dist), sorted by cell
+id (one argsort), and queried by gathering a *fixed-capacity* window from
+each of the 27 neighboring cells — a dense, static-shape top-K that XLA maps
+onto the VPU, instead of a per-ray recursive tree descent.
+
+Over-full cells are handled by *stochastic decimation*: only the first
+`cell_cap` photons of a cell are visible, and their flux is scaled by
+count/cell_cap.  Both the K-th-NN radius and the flux sum scale by the same
+factor, so the density estimate stays consistent (see discussion in
+docs/DESIGN.md).
+
+Per-photon memory: 12 B position + 6 B bf16 power + 2 B direction code =
+20 B/photon (the reference packs 30 B/photon with RGBE color, README.md:309).
+bf16 shares RGBE's 8-bit-exponent wide-range character but needs no
+pack/unpack ALU on TPU.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from ..ops import sampling as S
+
+
+@struct.dataclass
+class PhotonGrid:
+    # static metadata
+    dims: tuple = struct.field(pytree_node=False)      # (nx, ny, nz)
+    cell_cap: int = struct.field(pytree_node=False)    # max photons read/cell
+    # traced
+    origin: jnp.ndarray      # [3]
+    inv_h: jnp.ndarray       # [] 1 / cell size
+    pos: jnp.ndarray         # [N,3] f32, sorted by cell id
+    power: jnp.ndarray       # [N,3] bf16 flux (already power-normalized)
+    dir_code: jnp.ndarray    # [N] int32 (uint16 range), incident direction
+    valid: jnp.ndarray       # [N] bool
+    cell_start: jnp.ndarray  # [ncells+1] int32
+
+    @property
+    def n_cells(self) -> int:
+        nx, ny, nz = self.dims
+        return nx * ny * nz
+
+
+@struct.dataclass
+class PhotonMaps:
+    global_: PhotonGrid | None
+    caustic: PhotonGrid | None
+
+
+def build_grid(pos: jnp.ndarray, power: jnp.ndarray, dir_code: jnp.ndarray,
+               valid: jnp.ndarray, bbox_lo: np.ndarray, bbox_hi: np.ndarray,
+               cell_size: float, cell_cap: int,
+               max_dim: int = 256) -> PhotonGrid:
+    """Sort photons into a uniform grid.  bbox/cell_size are host values
+    (static grid dims); photon arrays are device tensors."""
+    span = np.maximum(np.asarray(bbox_hi) - np.asarray(bbox_lo), 1e-6)
+    cell = float(max(cell_size, span.max() / max_dim))
+    dims = tuple(int(min(max_dim, max(1, np.ceil(s / cell)))) for s in span)
+    nx, ny, nz = dims
+    n_cells = nx * ny * nz
+
+    origin = jnp.asarray(np.asarray(bbox_lo, np.float32))
+    inv_h = jnp.asarray(np.float32(1.0 / cell))
+
+    ijk = jnp.clip(jnp.floor((pos - origin) * inv_h).astype(jnp.int32),
+                   0, jnp.asarray([nx - 1, ny - 1, nz - 1]))
+    cid = (ijk[:, 0] * ny + ijk[:, 1]) * nz + ijk[:, 2]
+    cid = jnp.where(valid, cid, n_cells)  # invalid photons sort last
+
+    order = jnp.argsort(cid)
+    cid_sorted = cid[order]
+    cell_start = jnp.searchsorted(
+        cid_sorted, jnp.arange(n_cells + 1, dtype=cid_sorted.dtype)
+    ).astype(jnp.int32)
+
+    return PhotonGrid(
+        dims=dims, cell_cap=int(cell_cap), origin=origin, inv_h=inv_h,
+        pos=pos[order], power=power[order].astype(jnp.bfloat16),
+        dir_code=dir_code[order].astype(jnp.int32), valid=valid[order],
+        cell_start=cell_start)
+
+
+def _candidates(grid: PhotonGrid, point: jnp.ndarray):
+    """Gather candidate photon indices from the 27-cell neighborhood.
+
+    Returns (idx [B,27*C], ok [B,27*C], scale [B,27*C]) where `scale` is the
+    decimation flux multiplier count/C for over-full cells.
+    """
+    nx, ny, nz = grid.dims
+    C = grid.cell_cap
+    B = point.shape[0]
+    ijk = jnp.floor((point - grid.origin) * grid.inv_h).astype(jnp.int32)
+
+    idx_list, ok_list, scale_list = [], [], []
+    lane = jnp.arange(C, dtype=jnp.int32)
+    for dx in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            for dz in (-1, 0, 1):
+                c = ijk + jnp.asarray([dx, dy, dz])
+                in_b = jnp.all(
+                    (c >= 0) & (c < jnp.asarray([nx, ny, nz])), axis=-1)
+                cc = jnp.clip(c, 0, jnp.asarray([nx - 1, ny - 1, nz - 1]))
+                cid = (cc[:, 0] * ny + cc[:, 1]) * nz + cc[:, 2]
+                s = grid.cell_start[cid]
+                e = grid.cell_start[cid + 1]
+                cnt = e - s
+                idx = s[:, None] + lane[None, :]
+                ok = in_b[:, None] & (lane[None, :] < cnt[:, None])
+                scale = jnp.maximum(cnt.astype(jnp.float32) / C, 1.0)
+                idx_list.append(idx)
+                ok_list.append(ok)
+                scale_list.append(jnp.broadcast_to(scale[:, None], (B, C)))
+    return (jnp.concatenate(idx_list, axis=1),
+            jnp.concatenate(ok_list, axis=1),
+            jnp.concatenate(scale_list, axis=1))
+
+
+# Filter ids (utils/config.py): DISK=0, CONE=1, GAUSS=2
+
+
+def _estimate_chunk(grid, point, normal, exact_bounce, cos_theta, kd, ks,
+                    shin, estimate_size, estimate_dist, filter_type, cfg):
+    """EstimateRadiance (photon_utils.cpp:72-162) for one query chunk."""
+    K = int(estimate_size)
+    idx, ok, scale = _candidates(grid, point)
+    idx = jnp.clip(idx, 0, grid.pos.shape[0] - 1)
+
+    p = grid.pos[idx]                          # [B,M,3]
+    d2 = jnp.sum((p - point[:, None]) ** 2, axis=-1)
+    in_r = ok & (d2 <= estimate_dist * estimate_dist)
+    d2m = jnp.where(in_r, d2, jnp.inf)
+
+    M = d2m.shape[1]
+    k_eff = min(K, M)
+    neg_top, top_i = jax.lax.top_k(-d2m, k_eff)  # [B,K]
+    top_d2 = -neg_top
+    found = jnp.isfinite(top_d2)
+    num_nearby = jnp.sum(found, axis=1)
+
+    # max_dist^2: K-th neighbor if full, else the cap (photon_utils.cpp:85-96)
+    max_d2_found = jnp.max(jnp.where(found, top_d2, 0.0), axis=1)
+    max_d2 = jnp.where(num_nearby < K,
+                       jnp.asarray(estimate_dist * estimate_dist),
+                       jnp.maximum(max_d2_found, 1e-6))
+
+    gidx = jnp.take_along_axis(idx, top_i, axis=1)
+    flux = grid.power[gidx].astype(jnp.float32)        # [B,K,3]
+    flux = flux * jnp.take_along_axis(scale, top_i, axis=1)[..., None]
+    code = grid.dir_code[gidx]
+    incident = S.decode_direction(code)                # [B,K,3]
+
+    # normal-side cull (photon_utils.cpp:119-123)
+    perp = S.dot(normal[:, None], incident)
+    ct = cos_theta[:, None]
+    cull = ((ct < 0) & (perp < 0)) | ((ct > 0) & (perp > 0))
+    use = found & ~cull
+
+    cos_alpha = jnp.maximum(S.dot(exact_bounce[:, None], -incident), 0.0)
+    brdf_w = (jnp.abs(perp)[..., None] * kd[:, None]
+              + jnp.power(jnp.maximum(cos_alpha, 1e-30),
+                          shin[:, None])[..., None] * ks[:, None])
+    contrib = flux * brdf_w                            # [B,K,3]
+
+    dist = jnp.sqrt(jnp.maximum(top_d2, 0.0))
+    r = jnp.sqrt(max_d2)
+    if filter_type == 1:      # CONE
+        k_c = cfg.filter_const_k
+        w = 1.0 - dist / (k_c * r[:, None])
+        contrib = contrib * w[..., None]
+        est = jnp.sum(jnp.where(use[..., None], contrib, 0.0), axis=1)
+        est = est / ((1.0 - 2.0 / (3.0 * k_c)) * jnp.pi * max_d2)[:, None]
+    elif filter_type == 2:    # GAUSS (photon_utils.cpp:106-155)
+        c1 = jnp.exp(-cfg.filter_const_b)
+        c2 = 1.0 / (2.0 * max_d2)
+        w = 1.0 - (1.0 - jnp.power(c1, c2[:, None] * top_d2)) / (1.0 - c1)
+        contrib = contrib * w[..., None]
+        total_w = jnp.sum(jnp.where(use, w, 0.0), axis=1)
+        est = jnp.sum(jnp.where(use[..., None], contrib, 0.0), axis=1)
+        norm = jnp.where(
+            total_w > 0,
+            cfg.filter_const_a * num_nearby / jnp.maximum(total_w, 1e-30),
+            0.0)
+        est = est * (norm / (jnp.pi * max_d2))[:, None]
+    else:                     # DISK
+        est = jnp.sum(jnp.where(use[..., None], contrib, 0.0), axis=1)
+        est = est / (jnp.pi * max_d2)[:, None]
+
+    return jnp.where((num_nearby > 0)[:, None], est, 0.0)
+
+
+def estimate_radiance(grid: PhotonGrid, point, normal, exact_bounce,
+                      cos_theta, kd, ks, shin, estimate_size, estimate_dist,
+                      filter_type, cfg, chunk: int = 2048):
+    """Chunked EstimateRadiance over a query batch (bounded gather memory)."""
+    B = point.shape[0]
+    if B <= chunk:
+        return _estimate_chunk(grid, point, normal, exact_bounce, cos_theta,
+                               kd, ks, shin, estimate_size, estimate_dist,
+                               filter_type, cfg)
+    pad = (-B) % chunk
+    def padz(x):
+        return jnp.pad(x, [(0, pad)] + [(0, 0)] * (x.ndim - 1))
+    args = [padz(a).reshape((B + pad) // chunk, chunk, *a.shape[1:])
+            for a in (point, normal, exact_bounce, cos_theta, kd, ks, shin)]
+
+    def f(xs):
+        pt, n, eb, ct, kd_, ks_, sh_ = xs
+        return _estimate_chunk(grid, pt, n, eb, ct, kd_, ks_, sh_,
+                               estimate_size, estimate_dist, filter_type, cfg)
+
+    out = jax.lax.map(f, tuple(args))
+    return out.reshape(-1, 3)[:B]
+
+
+def estimate_cached_radiance(grid: PhotonGrid, point, normal, exact_bounce,
+                             cos_theta, kd, ks, shin, estimate_dist,
+                             chunk: int = 4096):
+    """EstimateCachedRadiance (photon_utils.cpp:165-205): nearest photon on
+    the correct normal side within the cap; its (irradiance) value weighted
+    by the Phong BRDF."""
+    B = point.shape[0]
+    if B > chunk:
+        pad = (-B) % chunk
+        def padz(x):
+            return jnp.pad(x, [(0, pad)] + [(0, 0)] * (x.ndim - 1))
+        args = [padz(a).reshape((B + pad) // chunk, chunk, *a.shape[1:])
+                for a in (point, normal, exact_bounce, cos_theta, kd, ks,
+                          shin)]
+
+        def f(xs):
+            pt, n, eb, ct, kd_, ks_, sh_ = xs
+            return estimate_cached_radiance(grid, pt, n, eb, ct, kd_, ks_,
+                                            sh_, estimate_dist, chunk)
+        return jax.lax.map(f, tuple(args)).reshape(-1, 3)[:B]
+
+    idx, ok, _ = _candidates(grid, point)
+    idx = jnp.clip(idx, 0, grid.pos.shape[0] - 1)
+    p = grid.pos[idx]
+    d2 = jnp.sum((p - point[:, None]) ** 2, axis=-1)
+    code = grid.dir_code[idx]
+    incident = S.decode_direction(code)
+    perp = S.dot(normal[:, None], incident)
+    ct = cos_theta[:, None]
+    side_ok = ~(((ct < 0) & (perp < 0)) | ((ct > 0) & (perp > 0)))
+    usable = ok & side_ok & (d2 <= estimate_dist * estimate_dist)
+    d2m = jnp.where(usable, d2, jnp.inf)
+    best = jnp.argmin(d2m, axis=1)
+    has = jnp.isfinite(jnp.min(d2m, axis=1))
+
+    bidx = jnp.take_along_axis(idx, best[:, None], axis=1)[:, 0]
+    flux = grid.power[bidx].astype(jnp.float32)
+    inc = S.decode_direction(grid.dir_code[bidx])
+    perp_b = S.dot(normal, inc)
+    cos_alpha = jnp.maximum(S.dot(exact_bounce, -inc), 0.0)
+    out = flux * (jnp.abs(perp_b)[:, None] * kd
+                  + jnp.power(jnp.maximum(cos_alpha, 1e-30), shin)[:, None]
+                  * ks)
+    return jnp.where(has[:, None], out, 0.0)
+
+
+def estimate_irradiance(grid: PhotonGrid, point, estimate_size,
+                        estimate_dist, chunk: int = 2048):
+    """EstimateIrradiance (photon_utils.cpp:209-246): plain flux/area disk
+    estimate (no BRDF, no normal cull) — used to precompute the cache."""
+    B = point.shape[0]
+    if B > chunk:
+        pad = (-B) % chunk
+        pts = jnp.pad(point, ((0, pad), (0, 0)))
+        pts = pts.reshape((B + pad) // chunk, chunk, 3)
+        out = jax.lax.map(
+            lambda p: estimate_irradiance(grid, p, estimate_size,
+                                          estimate_dist, chunk), pts)
+        return out.reshape(-1, 3)[:B]
+
+    K = int(estimate_size)
+    idx, ok, scale = _candidates(grid, point)
+    idx = jnp.clip(idx, 0, grid.pos.shape[0] - 1)
+    p = grid.pos[idx]
+    d2 = jnp.sum((p - point[:, None]) ** 2, axis=-1)
+    in_r = ok & (d2 <= estimate_dist * estimate_dist)
+    d2m = jnp.where(in_r, d2, jnp.inf)
+    k_eff = min(K, d2m.shape[1])
+    neg_top, top_i = jax.lax.top_k(-d2m, k_eff)
+    top_d2 = -neg_top
+    found = jnp.isfinite(top_d2)
+    num = jnp.sum(found, axis=1)
+    max_d2 = jnp.where(num < K, jnp.asarray(estimate_dist * estimate_dist),
+                       jnp.maximum(jnp.max(jnp.where(found, top_d2, 0.0),
+                                           axis=1), 1e-6))
+    gidx = jnp.take_along_axis(idx, top_i, axis=1)
+    flux = grid.power[gidx].astype(jnp.float32)
+    flux = flux * jnp.take_along_axis(scale, top_i, axis=1)[..., None]
+    est = jnp.sum(jnp.where(found[..., None], flux, 0.0), axis=1)
+    est = est / (jnp.pi * max_d2)[:, None]
+    return jnp.where((num > 0)[:, None], est, 0.0)

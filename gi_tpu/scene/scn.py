@@ -43,7 +43,8 @@ class _Builder:
         self.materials = []    # dict per material
         self.lights = []       # dict per light
         self.camera = None
-        self.ambient = np.array([0.2, 0.2, 0.2])
+        # reference R3Scene defaults: both black (R3Scene.cpp:36-37)
+        self.ambient = np.array([0.0, 0.0, 0.0])
         self.background = np.array([0.0, 0.0, 0.0])
 
     # -- geometry helpers ------------------------------------------------

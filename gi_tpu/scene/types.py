@@ -95,8 +95,11 @@ class Lights:
     rect lights (parser normalizes, R3Scene.cpp:1874-1875); area/dir lights
     derive their disk-spanning axes at trace time from `direction` with the
     same perpendicular-vector convention as reference graphics_utils.
+
+    `kind` is static metadata (tuple of ints): light types select which
+    shading branch is traced, so they must be compile-time constants.
     """
-    kind: jnp.ndarray       # [L] int32
+    kind: tuple = struct.field(pytree_node=False)  # len L, ints
     color: jnp.ndarray      # [L,3]
     position: jnp.ndarray   # [L,3]
     direction: jnp.ndarray  # [L,3] unit
@@ -145,7 +148,7 @@ class Scene:
 
     @property
     def n_lights(self) -> int:
-        return self.lights.kind.shape[0]
+        return len(self.lights.kind)
 
     @property
     def n_prims(self) -> dict:
@@ -214,7 +217,7 @@ def build_scene(
         ir=jnp.asarray(_np(materials_np["ir"]).reshape(-1)),
     )
     lights = Lights(
-        kind=jnp.asarray(_np(lights_np["kind"], np.int32).reshape(-1)),
+        kind=tuple(int(k) for k in _np(lights_np["kind"], np.int64).reshape(-1)),
         color=jnp.asarray(_np(lights_np["color"]).reshape(-1, 3)),
         position=jnp.asarray(_np(lights_np["position"]).reshape(-1, 3)),
         direction=jnp.asarray(_np(lights_np["direction"]).reshape(-1, 3)),
