@@ -33,17 +33,19 @@ def shadow_visible(scene: Scene, p_light: jnp.ndarray, p_surf: jnp.ndarray,
     """RayIlluminationTest (illumination_utils.cpp:16-31): trace from the
     light sample to the surface point; visible iff nothing closer."""
     delta = p_surf - p_light
-    dist = jnp.linalg.norm(delta, axis=-1)
-    d = delta / jnp.maximum(dist, 1e-30)[..., None]
+    dist = jnp.sqrt(jnp.sum(delta * delta, axis=-1) + 1e-30)
+    d = delta / dist[..., None]
     t = intersect_scene(scene, p_light, d, t_min=(1e-3 * dist)[:, None]).t
     return t >= dist * (1.0 - 1e-3)
 
 
 def _attenuated_intensity(lt, i, point):
     """IntensityAtPoint for point-ish lights: I/(ca + la d + qa d^2)."""
-    d = jnp.linalg.norm(lt.position[i] - point, axis=-1)
+    delta = lt.position[i] - point
+    d = jnp.sqrt(jnp.sum(delta * delta, axis=-1) + 1e-30)
     denom = lt.ca[i] + d * lt.la[i] + d * d * lt.qa[i]
-    return jnp.where(denom > 1e-12, lt.intensity[i] / denom, lt.intensity[i])
+    safe = jnp.where(denom > 1e-12, denom, 1.0)
+    return jnp.where(denom > 1e-12, lt.intensity[i] / safe, lt.intensity[i])
 
 
 def _phong(kd, ks, shin, is_d, is_s, Ic, I, L, N, V):
@@ -120,9 +122,11 @@ def _reflection_2d_nosadow(scene, i, kind, key, kd, ks, shin, is_d, is_s,
     def sample_term(k, nsamp, want_spec):
         u = jax.random.uniform(k, (B, nsamp, 2))
         sp = _sample_on_light(scene, i, kind, u[..., 0], u[..., 1])  # [B,ns,3]
-        d = jnp.linalg.norm(sp - point[:, None], axis=-1)
+        dv = sp - point[:, None]
+        d = jnp.sqrt(jnp.sum(dv * dv, axis=-1) + 1e-30)
         denom = lt.ca[i] + d * lt.la[i] + d * d * lt.qa[i]
-        I = jnp.where(denom > 1e-12, lt.intensity[i] / denom, lt.intensity[i])
+        safe = jnp.where(denom > 1e-12, denom, 1.0)
+        I = jnp.where(denom > 1e-12, lt.intensity[i] / safe, lt.intensity[i])
         L = S.normalize(sp - point[:, None])
         # emission-direction weighting (R3AreaLight.cpp:188: I *= n.(-L) * 2)
         I = I * S.dot(jnp.broadcast_to(norm, L.shape), -L) * 2.0
@@ -165,9 +169,11 @@ def _soft_2d_light(scene, i, kind, key, kd, ks, shin, is_d, is_s, eye,
         return sp, vis
 
     def intensity(sp):
-        d = jnp.linalg.norm(sp - point[:, None], axis=-1)
+        dv = sp - point[:, None]
+        d = jnp.sqrt(jnp.sum(dv * dv, axis=-1) + 1e-30)
         denom = lt.ca[i] + d * lt.la[i] + d * d * lt.qa[i]
-        I = jnp.where(denom > 1e-12, lt.intensity[i] / denom, lt.intensity[i])
+        safe = jnp.where(denom > 1e-12, denom, 1.0)
+        I = jnp.where(denom > 1e-12, lt.intensity[i] / safe, lt.intensity[i])
         L = S.normalize(sp - point[:, None])
         I = I * S.dot(jnp.broadcast_to(norm, L.shape), -L) * 2.0
         return I, L

@@ -242,7 +242,15 @@ def mc_walk(scene: Scene, cfg: RenderConfig, key, o, d, weight, phase, alive,
                          phase=new_phase, alive=alive, color=color,
                          depth=s.depth + 1)
 
-    final = jax.lax.while_loop(cond, body, state)
+    if cfg.differentiable:
+        # reverse-mode AD can't differentiate while_loop; unroll to a
+        # fixed-trip scan (all-dead iterations are masked no-ops)
+        def scan_body(s, _):
+            return body(s), None
+        final, _ = jax.lax.scan(scan_body, state, None,
+                                length=cfg.max_monte_depth)
+    else:
+        final = jax.lax.while_loop(cond, body, state)
     return final.color
 
 

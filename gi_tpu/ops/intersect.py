@@ -53,7 +53,10 @@ def _tri_t(o, d, v0, e1, e2, t_min):
     v0, e1, e2 = v0[None], e1[None], e2[None]
     pvec = jnp.cross(d, e2)
     det = _dot(e1, pvec)
-    inv_det = jnp.where(jnp.abs(det) > _DET_EPS, 1.0 / det, 0.0)
+    # divide by a safe det (the raw 1/det produces inf on parallel tris,
+    # which poisons reverse-mode AD even though `ok` masks it)
+    safe_det = jnp.where(jnp.abs(det) > _DET_EPS, det, 1.0)
+    inv_det = jnp.where(jnp.abs(det) > _DET_EPS, 1.0 / safe_det, 0.0)
     tvec = o - v0
     u = _dot(tvec, pvec) * inv_det
     qvec = jnp.cross(tvec, e1)
@@ -71,7 +74,8 @@ def _sphere_t(o, d, center, radius, t_min):
     b = _dot(oc, d[:, None, :])
     c = _dot(oc, oc) - (radius**2)[None]
     disc = b * b - c
-    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    # sqrt evaluated only where disc > 0 (grad-safe at the tangent boundary)
+    sq = jnp.sqrt(jnp.where(disc > 0, disc, 1.0))
     t1 = -b - sq
     t2 = -b + sq
     t = jnp.where(t1 > t_min, t1, t2)
@@ -146,12 +150,13 @@ def _cylinder_t(o, d, p0, p1, radius, t_min):
     tc1 = jnp.where(cap_ok(tc1), tc1, INF)
 
     t = jnp.minimum(t_side, jnp.minimum(tc0, tc1))
-    # normal selection
-    s_hit = sw + t * sd
-    q = oc + t[..., None] * d[:, None, :]
+    # normal selection (inf t zeroed before attribute math for AD safety)
+    tz = jnp.where(jnp.isfinite(t), t, 0.0)
+    s_hit = sw + tz * sd
+    q = oc + tz[..., None] * d[:, None, :]
     n_side = q - s_hit[..., None] * a[None]
-    n_side = n_side / jnp.maximum(
-        jnp.linalg.norm(n_side, axis=-1, keepdims=True), 1e-30)
+    n_side = n_side * jax.lax.rsqrt(
+        jnp.sum(n_side * n_side, axis=-1, keepdims=True) + 1e-12)
     n = jnp.where((t == tc0)[..., None], -a[None],
                   jnp.where((t == tc1)[..., None], a[None], n_side))
     return t, n
@@ -198,10 +203,11 @@ def _cone_t(o, d, p0, p1, radius, t_min):
     tc = jnp.where(cap_ok(tc), tc, INF)
 
     t = jnp.minimum(t_side, tc)
-    s_hit = sw + t * sd
-    q = oc + t[..., None] * d[:, None, :]
+    tz = jnp.where(jnp.isfinite(t), t, 0.0)
+    s_hit = sw + tz * sd
+    q = oc + tz[..., None] * d[:, None, :]
     e = q - s_hit[..., None] * a[None]
-    e = e / jnp.maximum(jnp.linalg.norm(e, axis=-1, keepdims=True), 1e-30)
+    e = e * jax.lax.rsqrt(jnp.sum(e * e, axis=-1, keepdims=True) + 1e-12)
     denom = jnp.sqrt(h * h + radius * radius)[None, :, None]
     n_side = (e * h[None, :, None] + a[None] * radius[None, :, None]) / denom
     n = jnp.where((t == tc)[..., None], -a[None] * jnp.ones_like(q), n_side)
@@ -294,7 +300,9 @@ def intersect_scene(scene: Scene, o: jnp.ndarray, d: jnp.ndarray,
                           t_min)
         idx = jnp.argmin(t_all, axis=1)
         t = jnp.min(t_all, axis=1)
-        p = o + t[:, None] * d
+        # zero-out inf before attribute math: inf*0 poisons reverse-mode AD
+        ts = jnp.where(jnp.isfinite(t), t, 0.0)
+        p = o + ts[:, None] * d
         c = scene.spheres.center[idx]
         r = scene.spheres.radius[idx]
         n = (p - c) / jnp.maximum(r, 1e-30)[:, None]
@@ -304,7 +312,8 @@ def intersect_scene(scene: Scene, o: jnp.ndarray, d: jnp.ndarray,
         t_all = _box_t(o, d, scene.boxes.lo, scene.boxes.hi, t_min)
         idx = jnp.argmin(t_all, axis=1)
         t = jnp.min(t_all, axis=1)
-        p = o + t[:, None] * d
+        ts = jnp.where(jnp.isfinite(t), t, 0.0)
+        p = o + ts[:, None] * d
         n = _box_normal(p, scene.boxes.lo[idx], scene.boxes.hi[idx])
         best = merge(best, t, n, scene.boxes.mat[idx])
 

@@ -10,6 +10,7 @@ equal-distribution transforms so shapes stay static.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 TWO_PI = 2.0 * jnp.pi
@@ -19,8 +20,16 @@ def dot(a, b):
     return jnp.sum(a * b, axis=-1)
 
 
-def normalize(v, eps=1e-30):
-    return v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), eps)
+def normalize(v, eps=1e-12):
+    # sum-of-squares + eps form: finite reverse-mode gradients at v == 0.
+    # eps must be >= 1e-12: rsqrt's backward is -x^(-3/2)/2, which overflows
+    # f32 (-> inf -> 0*inf NaN) for smaller floors.
+    return v * jax.lax.rsqrt(jnp.sum(v * v, axis=-1, keepdims=True) + eps)
+
+
+def safe_arccos(x, eps=1e-6):
+    """arccos with finite gradients at |x| = 1 (clip inside the domain)."""
+    return jnp.arccos(jnp.clip(x, -1.0 + eps, 1.0 - eps))
 
 
 def max_channel(rgb):
@@ -97,8 +106,10 @@ def specular_importance_sample(exact, shininess, cos_theta, u1, u2):
     """Phong-lobe sample around `exact` with the grazing-angle rescale:
     alpha = acos(u^(1/(n+1))) * (1 - acos(|cos_theta|) 2/pi)
     (graphics_utils.cpp:189-216, after Lafortune & Willems 1994)."""
-    angle_limit = 1.0 - jnp.arccos(jnp.clip(jnp.abs(cos_theta), 0.0, 1.0)) * 2.0 / jnp.pi
-    alpha = jnp.arccos(jnp.clip(u1 ** (1.0 / (shininess + 1.0)), 0.0, 1.0)) * angle_limit
+    angle_limit = 1.0 - safe_arccos(jnp.abs(cos_theta)) * 2.0 / jnp.pi
+    # clamp u away from 0: u^(1/(n+1)) has a 0*log(0) NaN in d/dn at u=0
+    u1c = jnp.clip(u1, 1e-7, 1.0)
+    alpha = safe_arccos(u1c ** (1.0 / (shininess + 1.0))) * angle_limit
     phi = TWO_PI * u2
     return _around_axis(exact, alpha, phi)
 
@@ -127,7 +138,7 @@ def transmissive_bounce(normal, view, cos_theta, ir_mat, ir_air=1.0):
     eta = jnp.where(entering, ir_air / ir_mat, ir_mat / ir_air)
     n = jnp.where(entering[..., None], normal, -normal)
     ct = jnp.abs(cos_theta)
-    sin_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - ct * ct))
+    sin_t = jnp.sqrt(jnp.clip(1.0 - ct * ct, 1e-12, 1.0))
     sin_phi = eta * sin_t
     tir = jnp.abs(sin_phi) > 1.0
 
@@ -140,8 +151,8 @@ def transmissive_bounce(normal, view, cos_theta, ir_mat, ir_air=1.0):
     vpar = view + n * ct[..., None]
     # guard: at normal incidence vpar ~ 0; refraction is straight through (-n
     # direction == view)
-    vpar_len = jnp.linalg.norm(vpar, axis=-1, keepdims=True)
-    vpar_unit = vpar / jnp.maximum(vpar_len, 1e-12)
+    vpar_len = jnp.sqrt(jnp.sum(vpar * vpar, axis=-1, keepdims=True) + 1e-30)
+    vpar_unit = vpar / vpar_len
     refral = normalize(vpar_unit * tan_phi[..., None] - n)
     straight = normalize(-n)
     refr = jnp.where(vpar_len > 1e-8, refral, straight)

@@ -1,0 +1,113 @@
+"""Device-mesh sharding of ray and photon batches.
+
+The reference's parallelism is k std::threads with strided pixel columns and
+a mutex-guarded photon buffer (SURVEY.md §2.3).  The TPU-native equivalents:
+
+  P1  ray batches   -> shard pixel indices over a 1-D 'rays' mesh axis with
+                       shard_map; the scene pytree is replicated (P6).
+  P2  photon quota  -> each device emits/traces its own photon sub-batch;
+                       stored counts are psum'd for the host quota loop.
+  P3  photon buffers-> fixed-capacity per-device arrays + masked compaction
+                       (no locks), all_gather to build the global map.
+  P4  statistics    -> per-device counters reduced with psum.
+  P5  RNG           -> threefry key fold_in(axis_index) per device.
+  P7  collectives ride ICI within a slice (psum/all_gather inserted by XLA).
+
+Gradients for the differentiable path are averaged across devices with a
+psum inside the sharded loss, overlapping the backward pass.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from ..models.render import render_tile
+from ..scene.types import Scene
+from ..utils.config import RenderConfig
+
+AXIS = "rays"
+
+
+def device_mesh(n_devices: int | None = None, platform: str | None = None
+                ) -> Mesh:
+    """1-D mesh over available devices (TPU chips, or virtual CPU devices
+    for testing)."""
+    devices = jax.devices(platform) if platform else jax.devices()
+    if n_devices is not None:
+        if len(devices) < n_devices:
+            # fall back to virtual CPU mesh (tests / dryrun)
+            devices = jax.devices("cpu")
+        devices = devices[:n_devices]
+    return Mesh(np.array(devices), (AXIS,))
+
+
+def render_tile_sharded(scene: Scene, cfg: RenderConfig, key,
+                        pixel_idx: jnp.ndarray, width: int, height: int,
+                        mesh: Mesh, photon_maps=None) -> jnp.ndarray:
+    """Render a pixel batch sharded over the mesh 'rays' axis.
+
+    pixel_idx length must be divisible by the mesh size; the scene (and
+    photon maps) are replicated, colors come back sharded.
+    """
+    def body(scene_, key_, idx_, maps_):
+        k = jax.random.fold_in(key_, jax.lax.axis_index(AXIS))
+        return render_tile(scene_, cfg, k, idx_, width, height, maps_)
+
+    f = shard_map(body, mesh=mesh,
+                  in_specs=(P(), P(), P(AXIS), P()),
+                  out_specs=P(AXIS), check_rep=False)
+    return f(scene, key, pixel_idx, photon_maps)
+
+
+def diff_params(scene: Scene):
+    """The differentiable parameter pytree: materials, light colors, camera
+    (BASELINE.json north star: gradients w.r.t. albedo/shininess, light
+    power, camera)."""
+    return {
+        "materials": scene.materials,
+        "light_color": scene.lights.color,
+        "camera_eye": scene.camera.eye,
+    }
+
+
+def apply_params(scene: Scene, params) -> Scene:
+    return scene.replace(
+        materials=params["materials"],
+        lights=scene.lights.replace(color=params["light_color"]),
+        camera=scene.camera.replace(eye=params["camera_eye"]),
+    )
+
+
+def train_step_sharded(scene: Scene, cfg: RenderConfig, key,
+                       pixel_idx: jnp.ndarray, target: jnp.ndarray,
+                       width: int, height: int, mesh: Mesh):
+    """One differentiable-rendering optimization step, rays sharded over the
+    mesh: forward render -> L2 loss vs target -> backward -> psum'd grads.
+
+    Returns (loss, grads) with grads replicated across devices.
+    """
+    params = diff_params(scene)
+
+    def body(scene_, params_, key_, idx_, tgt_):
+        k = jax.random.fold_in(key_, jax.lax.axis_index(AXIS))
+
+        def loss_fn(p):
+            s = apply_params(scene_, p)
+            colors = render_tile(s, cfg, k, idx_, width, height, None)
+            return jnp.mean((colors - tgt_) ** 2)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params_)
+        loss = jax.lax.pmean(loss, AXIS)
+        grads = jax.tree.map(lambda g: jax.lax.pmean(g, AXIS), grads)
+        return loss, grads
+
+    f = shard_map(body, mesh=mesh,
+                  in_specs=(P(), P(), P(), P(AXIS), P(AXIS)),
+                  out_specs=(P(), P()), check_rep=False)
+    return f(scene, params, key, pixel_idx, target)

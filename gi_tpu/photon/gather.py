@@ -170,7 +170,7 @@ def _estimate_chunk(grid, point, normal, exact_bounce, cos_theta, kd, ks,
                           shin[:, None])[..., None] * ks[:, None])
     contrib = flux * brdf_w                            # [B,K,3]
 
-    dist = jnp.sqrt(jnp.maximum(top_d2, 0.0))
+    dist = jnp.sqrt(jnp.maximum(top_d2, 1e-12))
     r = jnp.sqrt(max_d2)
     if filter_type == 1:      # CONE
         k_c = cfg.filter_const_k

@@ -89,6 +89,7 @@ class RenderConfig:
     ray_tile: int = 16384             # eye rays per wavefront launch
     seed: int = 0
     use_pallas: str = "auto"          # "auto" | "always" | "never"
+    differentiable: bool = False      # fixed-trip scan walk (reverse-mode AD)
 
     def replace(self, **kw) -> "RenderConfig":
         return dataclasses.replace(self, **kw)
