@@ -1,0 +1,70 @@
+"""Command-line driver: `photonmap scene.scn out.png [-FLAGS]`.
+
+Mirrors the reference binary's pipeline (photonmap.cpp:442-499): parse args,
+read scene, build photon maps (if any photon layer is enabled), render with
+supersampled AA, write the image — with the reference's `-v` statistics.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import jax
+
+
+def main(argv=None):
+    from .models.render import render_image
+    from .photon.trace import build_photon_maps
+    from .scene.scn import load_scene
+    from .utils.config import parse_args
+    from .utils.image import write_image
+
+    scene_name, image_name, cfg = parse_args(
+        sys.argv[1:] if argv is None else argv)
+
+    t0 = time.time()
+    scene = load_scene(scene_name, real_material=cfg.real_material)
+    if cfg.verbose:
+        n = scene.n_prims
+        print(f"Read scene from {scene_name} ...")
+        print(f"  Time = {time.time() - t0:.2f} seconds")
+        print(f"  # Primitives = {n}")
+        print(f"  # Lights = {scene.n_lights}")
+
+    key = jax.random.PRNGKey(cfg.seed)
+    key, k_maps = jax.random.split(key)
+
+    maps = None
+    if cfg.indirect_illum or cfg.caustic_illum or cfg.direct_photon_illum:
+        t1 = time.time()
+        if cfg.verbose:
+            print("Building photon maps ...")
+        maps, cfg = build_photon_maps(scene, cfg, k_maps,
+                                      verbose=cfg.verbose)
+        if cfg.verbose:
+            print(f"  Total Time = {time.time() - t1:.2f} seconds")
+
+    t2 = time.time()
+    if cfg.verbose:
+        print("Rendering image ...")
+
+    def progress(frac):
+        if cfg.verbose:
+            bar = int(frac * 50)
+            print(f"[{'=' * bar}{' ' * (50 - bar)}] {int(frac * 100)}%",
+                  end="\r", flush=True)
+
+    img = render_image(scene, cfg, photon_maps=maps, progress=progress)
+    if cfg.verbose:
+        print(f"\nRendered image ...\n  Time = {time.time() - t2:.2f} seconds")
+
+    write_image(img, image_name)
+    if cfg.verbose:
+        print(f"Wrote image to {image_name} ...")
+        print(f"  Width = {cfg.width}\n  Height = {cfg.height}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,421 @@
+"""Photon emission + tracing + map building.
+
+The reference traces photons on k threads, each with a thread-local 100k
+buffer flushed under a global mutex (photonmap.cpp:145-257,
+photon_utils.cpp:19-36), then builds a kd-tree.  TPU-native: a fixed-size
+*emission round* is one jitted program — per-light emission samplers feed a
+masked `while_loop` bounce walk that scatters store-records into a
+fixed-capacity buffer by prefix-sum index (the lock-free equivalent of the
+thread-local buffer, SURVEY.md §2.3 P3) — and the host runs the reference's
+adaptive emission-cycle quota loop (photonmap.cpp:163-198) around it,
+accumulating rounds until the storage goal is met.
+
+Store-predicate grammar per map (photontracer.cpp:56-139):
+  GLOBAL       store at every diffuse hit            (L{S|D}*D)
+  FAST_GLOBAL  store only after >=1 diffuse bounce
+  CAUSTIC      store only after >=1 specular/transmissive bounce,
+               terminate at the first diffuse bounce (LS+D)
+
+Powers are normalized after tracing: photon_power = total_power / emitted
+(photonmap.cpp:339-361).
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import sampling as S
+from ..ops.intersect import intersect_scene
+from ..scene.types import (LIGHT_AREA, LIGHT_DIR, LIGHT_POINT, LIGHT_RECT,
+                           LIGHT_SPOT, Scene)
+from ..utils.config import RenderConfig
+from .gather import PhotonGrid, PhotonMaps, build_grid, estimate_irradiance
+
+MAP_GLOBAL, MAP_CAUSTIC = 0, 1
+
+
+def light_power(scene: Scene, i: int) -> float:
+    """LightPower (graphics_utils.cpp:223-258): sum(rgb) * area * flux."""
+    lt = scene.lights
+    kind = lt.kind[i]
+    color_sum = float(np.sum(np.asarray(lt.color[i])))
+    area = 1.0
+    flux = 4.0 * np.pi
+    if kind == LIGHT_DIR:
+        area = np.pi * float(scene.radius) ** 2
+        flux = 1.0
+    elif kind == LIGHT_AREA:
+        area = np.pi * float(lt.radius[i]) ** 2
+        flux /= 2.0
+    elif kind == LIGHT_RECT:
+        a1 = np.asarray(lt.axis1[i]) * float(lt.len1[i])
+        a2 = np.asarray(lt.axis2[i]) * float(lt.len2[i])
+        area = float(np.linalg.norm(np.cross(a1, a2)))
+        flux /= 2.0
+    elif kind == LIGHT_SPOT:
+        s = float(lt.dropoff[i])
+        c = float(lt.cutoff[i])
+        flux = 2.0 * np.pi / (s + 1.0) * (1.0 - np.cos(c) ** (s + 1.0))
+    return color_sum * area * flux
+
+
+def _emit_from_light(scene: Scene, i: int, kind: int, key, n: int):
+    """Emission sampler for light i -> (origins [n,3], dirs [n,3]).
+    Mirrors EmitPhotons per light class (photontracer.cpp:182-363)."""
+    lt = scene.lights
+    u = jax.random.uniform(key, (n, 6))
+    eps = 1e-4 * scene.radius
+    if kind == LIGHT_DIR:
+        # disk of SCENE_RADIUS outside the scene (photontracer.cpp:198-233)
+        norm = lt.direction[i]
+        center = scene.centroid - norm * scene.radius * 3.0
+        uu, vv = S.onb(norm)
+        r1, r2 = S.uniform_disk(u[:, 0], u[:, 1])
+        o = (center + (r1[:, None] * uu + r2[:, None] * vv) * scene.radius
+             + norm * eps)
+        d = jnp.broadcast_to(norm, o.shape)
+    elif kind == LIGHT_POINT:
+        o = jnp.broadcast_to(lt.position[i], (n, 3))
+        d = S.uniform_sphere_dir(u[:, 0], u[:, 1])
+    elif kind == LIGHT_SPOT:
+        # Phong-lobe around the axis, rejection against the cutoff with a
+        # "cheat" fallback (photontracer.cpp:258-286).  The reference tries
+        # 20 times then narrows the lobe; we unroll 4 tries + cheat.
+        norm = jnp.broadcast_to(lt.direction[i], (n, 3))
+        cutoff = jnp.cos(lt.cutoff[i])
+        ones = jnp.ones((n,))
+        d = S.specular_importance_sample(norm, lt.dropoff[i], ones,
+                                         u[:, 0], u[:, 1])
+        for attempt in range(3):
+            ua = jax.random.uniform(jax.random.fold_in(key, attempt + 100),
+                                    (n, 2))
+            cand = S.specular_importance_sample(norm, lt.dropoff[i], ones,
+                                                ua[:, 0], ua[:, 1])
+            d = jnp.where((S.dot(d, norm) < cutoff)[:, None], cand, d)
+        cheat = S.specular_importance_sample(norm, lt.dropoff[i],
+                                             cutoff * ones, u[:, 2], u[:, 3])
+        d = jnp.where((S.dot(d, norm) < cutoff)[:, None], cheat, d)
+        o = jnp.broadcast_to(lt.position[i], (n, 3))
+    elif kind == LIGHT_AREA:
+        norm = lt.direction[i]
+        uu, vv = S.onb(norm)
+        r1, r2 = S.uniform_disk(u[:, 0], u[:, 1])
+        o = (lt.position[i] + (r1[:, None] * uu + r2[:, None] * vv)
+             * lt.radius[i] + norm * 1e-4 * scene.radius)
+        nb = jnp.broadcast_to(norm, o.shape)
+        d = S.diffuse_importance_sample(nb, jnp.ones((n,)), u[:, 2], u[:, 3])
+    else:  # LIGHT_RECT
+        norm = lt.direction[i]
+        a1 = lt.axis1[i] * lt.len1[i]
+        a2 = lt.axis2[i] * lt.len2[i]
+        o = (lt.position[i] + (u[:, 0] - 0.5)[:, None] * a1
+             + (u[:, 1] - 0.5)[:, None] * a2 + norm * 1e-4 * scene.radius)
+        nb = jnp.broadcast_to(norm, o.shape)
+        d = S.diffuse_importance_sample(nb, jnp.ones((n,)), u[:, 2], u[:, 3])
+    return o, d
+
+
+@partial(jax.jit, static_argnames=("cfg", "counts", "map_type", "cap"))
+def emit_round(scene: Scene, cfg: RenderConfig, key, counts: tuple,
+               map_type: int, cap: int):
+    """Trace one emission round.
+
+    counts[i] photons from light i (static).  Returns
+    (pos [cap,3], power [cap,3], dir_code [cap], n_stored, n_live_steps).
+    """
+    os_, ds_, ps_ = [], [], []
+    for i, kind in enumerate(scene.lights.kind):
+        n = counts[i]
+        if n == 0:
+            continue
+        key, sub = jax.random.split(key)
+        o, d = _emit_from_light(scene, i, kind, sub, n)
+        # photon power = L1-normalized light color (photontracer.cpp:188-189)
+        p = jnp.broadcast_to(S.normalize_color(scene.lights.color[i]), (n, 3))
+        os_.append(o)
+        ds_.append(d)
+        ps_.append(p)
+    o = jnp.concatenate(os_)
+    d = jnp.concatenate(ds_)
+    power = jnp.concatenate(ps_)
+    R = o.shape[0]
+
+    store0 = (map_type == MAP_GLOBAL) and not cfg.fast_global
+    eps = 1e-4 * scene.radius
+
+    buf_pos = jnp.zeros((cap, 3))
+    buf_pow = jnp.zeros((cap, 3))
+    buf_dir = jnp.zeros((cap,), jnp.int32)
+
+    state = dict(
+        key=key, o=o, d=d, power=power,
+        alive=jnp.ones((R,), bool),
+        store=jnp.full((R,), store0),
+        buf_pos=buf_pos, buf_pow=buf_pow, buf_dir=buf_dir,
+        count=jnp.asarray(0, jnp.int32),
+        depth=jnp.asarray(0, jnp.int32),
+    )
+
+    def cond(s):
+        return (s["depth"] < cfg.max_photon_depth) & jnp.any(s["alive"])
+
+    def body(s):
+        key, k_rr, k_dir, k_spec = jax.random.split(s["key"], 4)
+        hit = intersect_scene(scene, s["o"], s["d"], t_min=0.0)
+        live = s["alive"] & hit.valid
+        mats = scene.materials
+        kd = mats.kd[hit.mat]
+        ks = mats.ks[hit.mat]
+        kt = mats.kt[hit.mat]
+        ir = mats.ir[hit.mat]
+        shin = mats.shininess[hit.mat]
+        is_d = jnp.any(kd > 0, axis=-1)
+        is_transp = jnp.any(kt > 0, axis=-1)
+
+        view = S.normalize(hit.point - s["o"])
+        cos_theta = S.dot(hit.normal, -view)
+
+        # ---- store at diffuse hits (StorePhoton, photon_utils.cpp:40-65):
+        # incident direction = direction of travel (`view`)
+        want = live & is_d & s["store"]
+        offset = jnp.cumsum(want.astype(jnp.int32)) - 1
+        slot = jnp.where(want, s["count"] + offset, cap)  # cap -> dropped
+        buf_pos = s["buf_pos"].at[slot].set(hit.point, mode="drop")
+        buf_pow = s["buf_pow"].at[slot].set(s["power"], mode="drop")
+        buf_dir = s["buf_dir"].at[slot].set(
+            S.encode_direction(view).astype(jnp.int32), mode="drop")
+        count = s["count"] + jnp.sum(want, dtype=jnp.int32)
+
+        # ---- Russian roulette with photon-colored probabilities
+        # (photontracer.cpp:87-95: prob ~ max(brdf*photon)/max(photon))
+        r_coeff = jnp.zeros((R,))
+        if cfg.fresnel:
+            r_coeff = jnp.where(
+                is_transp,
+                S.compute_reflection_coeff(cos_theta, ir, cfg.ir_air), 0.0)
+        maxch = jnp.maximum(S.max_channel(s["power"]), 1e-12)
+        prob_d = S.max_channel(kd * s["power"]) / maxch
+        prob_t0 = S.max_channel(kt * s["power"]) / maxch
+        prob_s = S.max_channel(ks * s["power"]) / maxch + r_coeff * prob_t0
+        prob_t = prob_t0 * (1.0 - r_coeff)
+        prob_total = prob_d + prob_t + prob_s + cfg.prob_absorb
+
+        u_rr = jax.random.uniform(k_rr, (R,))
+        rand = jnp.where(prob_total > 1.0, u_rr * prob_total, u_rr)
+        take_d = rand < prob_d
+        take_t = (~take_d) & (rand < prob_d + prob_t)
+        take_s = (~take_d) & (~take_t) & (rand < prob_d + prob_t + prob_s)
+
+        # diffuse bounce (terminates caustic traces)
+        u_dir = jax.random.uniform(k_dir, (R, 2))
+        cosine_dir = S.diffuse_importance_sample(hit.normal, cos_theta,
+                                                 u_dir[:, 0], u_dir[:, 1])
+        die = jnp.zeros((R,), bool)
+        new_d = s["d"]
+        new_pow = s["power"]
+        new_store = s["store"]
+        safe_pd = jnp.maximum(prob_d, 1e-12)
+        safe_pt = jnp.maximum(prob_t, 1e-12)
+        safe_ps = jnp.maximum(prob_s, 1e-12)
+
+        d_act = take_d & live
+        if map_type == MAP_CAUSTIC:
+            die = die | d_act
+        else:
+            new_store = new_store | d_act  # FAST_GLOBAL arms after diffuse
+            new_d = jnp.where(d_act[:, None], cosine_dir, new_d)
+            new_pow = jnp.where(d_act[:, None],
+                                new_pow * kd / safe_pd[:, None], new_pow)
+
+        # transmissive bounce
+        t_act = take_t & live
+        exact_t = S.transmissive_bounce(hit.normal, view, cos_theta, ir,
+                                        cfg.ir_air)
+        if cfg.distrib_transmissive:
+            u_s = jax.random.uniform(k_spec, (R, 2))
+            smp_t = S.specular_importance_sample(exact_t, shin, cos_theta,
+                                                 u_s[:, 0], u_s[:, 1])
+        else:
+            smp_t = exact_t
+        new_d = jnp.where(t_act[:, None], smp_t, new_d)
+        new_pow = jnp.where(
+            t_act[:, None],
+            new_pow * (1.0 - r_coeff[:, None]) * kt / safe_pt[:, None],
+            new_pow)
+
+        # specular bounce
+        s_act = take_s & live
+        exact_s = S.reflective_bounce(hit.normal, view, cos_theta)
+        if cfg.distrib_specular:
+            key, k2 = jax.random.split(key)
+            u_s2 = jax.random.uniform(k2, (R, 2))
+            smp_s = S.specular_importance_sample(exact_s, shin, cos_theta,
+                                                 u_s2[:, 0], u_s2[:, 1])
+        else:
+            smp_s = exact_s
+        new_d = jnp.where(s_act[:, None], smp_s, new_d)
+        new_pow = jnp.where(
+            s_act[:, None],
+            new_pow * (ks + r_coeff[:, None] * kt) / safe_ps[:, None],
+            new_pow)
+
+        if map_type == MAP_CAUSTIC:
+            new_store = new_store | t_act | s_act
+
+        absorbed = live & ~take_d & ~take_t & ~take_s
+        alive = live & ~die & ~absorbed
+        new_o = jnp.where(alive[:, None], hit.point + new_d * eps, s["o"])
+        return dict(key=key, o=new_o, d=new_d, power=new_pow, alive=alive,
+                    store=new_store, buf_pos=buf_pos, buf_pow=buf_pow,
+                    buf_dir=buf_dir, count=count, depth=s["depth"] + 1)
+
+    final = jax.lax.while_loop(cond, body, state)
+    return (final["buf_pos"], final["buf_pow"], final["buf_dir"],
+            final["count"])
+
+
+def _scene_bbox(scene: Scene):
+    pts = []
+    if scene.tris.v0.shape[0]:
+        v0 = np.asarray(scene.tris.v0)
+        pts += [v0, v0 + np.asarray(scene.tris.e1), v0 + np.asarray(scene.tris.e2)]
+    if scene.spheres.center.shape[0]:
+        c = np.asarray(scene.spheres.center)
+        r = np.asarray(scene.spheres.radius)[:, None]
+        pts += [c - r, c + r]
+    if scene.boxes.lo.shape[0]:
+        pts += [np.asarray(scene.boxes.lo), np.asarray(scene.boxes.hi)]
+    for prim in (scene.cylinders, scene.cones):
+        if prim.p0.shape[0]:
+            r = np.asarray(prim.radius)[:, None]
+            pts += [np.asarray(prim.p0) - r, np.asarray(prim.p0) + r,
+                    np.asarray(prim.p1) - r, np.asarray(prim.p1) + r]
+    if scene.circles.center.shape[0]:
+        c = np.asarray(scene.circles.center)
+        r = np.asarray(scene.circles.radius)[:, None]
+        pts += [c - r, c + r]
+    if not pts:
+        return np.zeros(3), np.ones(3)
+    allp = np.concatenate(pts)
+    return allp.min(axis=0), allp.max(axis=0)
+
+
+def trace_photon_map(scene: Scene, cfg: RenderConfig, key, map_type: int,
+                     verbose: bool = False):
+    """Host-side emission-cycle loop (photonmap.cpp:163-198): emit rounds
+    until the storage goal is met, then normalize powers and build the grid.
+
+    Returns (PhotonGrid | None, stats dict).
+    """
+    goal = (cfg.global_photon_count if map_type == MAP_GLOBAL
+            else cfg.caustic_photon_count)
+
+    # light power distribution
+    powers = [light_power(scene, i) for i in range(scene.n_lights)]
+    total_power = sum(powers)
+    if total_power <= 0 or scene.n_lights == 0:
+        return None, {}
+
+    # fixed round size (static shapes -> one compile); per-light counts
+    # proportional to power
+    round_size = int(min(max(4096, goal // 4), 262144))
+    counts = [int(round(round_size * p / total_power)) for p in powers]
+    # ensure at least 1 for active lights and exact-ish total
+    counts = [max(1, c) if p > 0 else 0 for c, p in zip(counts, powers)]
+    counts = tuple(counts)
+    R = sum(counts)
+    cap = 8 * R
+
+    pos_l, pow_l, dir_l = [], [], []
+    stored = 0
+    emitted = 0
+    attempts = 40
+    t0 = time.time()
+    while stored < goal and attempts > 0:
+        key, sub = jax.random.split(key)
+        bp, bw, bd, cnt = emit_round(scene, cfg, sub, counts, map_type, cap)
+        n = int(cnt)
+        n = min(n, cap)
+        emitted += R
+        if n > 0:
+            pos_l.append(np.asarray(bp[:n]))
+            pow_l.append(np.asarray(bw[:n]))
+            dir_l.append(np.asarray(bd[:n]))
+            stored += n
+        else:
+            attempts -= 1
+    elapsed = time.time() - t0
+
+    stats = dict(stored=stored, emitted=emitted, seconds=elapsed,
+                 photons_per_s=stored / max(elapsed, 1e-9))
+    if stored == 0:
+        return None, stats
+
+    pos = jnp.asarray(np.concatenate(pos_l))
+    dircode = jnp.asarray(np.concatenate(dir_l))
+    # power normalization (photonmap.cpp:341-357)
+    photon_power = total_power / emitted
+    power = jnp.asarray(np.concatenate(pow_l) * photon_power)
+
+    est_dist = (cfg.global_estimate_dist if map_type == MAP_GLOBAL
+                else cfg.caustic_estimate_dist)
+    est_size = (cfg.global_estimate_size if map_type == MAP_GLOBAL
+                else cfg.caustic_estimate_size)
+    lo, hi = _scene_bbox(scene)
+    cell_cap = max(64, 2 * est_size)
+    grid = build_grid(pos, power, dircode, jnp.ones((pos.shape[0],), bool),
+                      lo, hi, est_dist, cell_cap)
+
+    if verbose:
+        print(f"  map {map_type}: stored={stored} emitted={emitted} "
+              f"({stats['photons_per_s']:.0f} photons/s)")
+    return grid, stats
+
+
+def build_photon_maps(scene: Scene, cfg: RenderConfig, key,
+                      verbose: bool = False):
+    """MapPhotons equivalent (photonmap.cpp:260-436).
+
+    Returns (PhotonMaps | None, adjusted_cfg): layers whose maps came out
+    empty are disabled in the returned config, mirroring the reference's
+    fallbacks (photonmap.cpp:347-361).
+    """
+    need_global = cfg.indirect_illum or cfg.direct_photon_illum
+    need_caustic = cfg.caustic_illum
+    if not (need_global or need_caustic):
+        return None, cfg
+
+    k1, k2 = jax.random.split(key)
+    global_grid = None
+    caustic_grid = None
+    stats = {}
+    if need_global:
+        global_grid, s = trace_photon_map(scene, cfg, k1, MAP_GLOBAL, verbose)
+        stats["global"] = s
+        if global_grid is None:
+            cfg = cfg.replace(indirect_illum=False,
+                              direct_photon_illum=False)
+    if need_caustic:
+        caustic_grid, s = trace_photon_map(scene, cfg, k2, MAP_CAUSTIC,
+                                           verbose)
+        stats["caustic"] = s
+        if caustic_grid is None:
+            cfg = cfg.replace(caustic_illum=False)
+
+    # Irradiance cache: replace each global photon's power with
+    # flux + disk irradiance estimate at its position (photonmap.cpp:381-413)
+    if cfg.irradiance_cache and global_grid is not None:
+        own = global_grid.power.astype(jnp.float32)
+        est = estimate_irradiance(global_grid, global_grid.pos,
+                                  cfg.global_estimate_size,
+                                  cfg.global_estimate_dist)
+        global_grid = global_grid.replace(
+            power=(own + est).astype(jnp.bfloat16))
+
+    maps = PhotonMaps(global_=global_grid, caustic=caustic_grid)
+    return maps, cfg
