@@ -1,0 +1,177 @@
+"""Photon map tests: grid gather vs brute-force kNN oracle, direction/RGBE
+codecs, sampler distributions, and emission round sanity."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from gi_tpu.ops import sampling as S
+from gi_tpu.photon import gather
+from gi_tpu.utils.config import RenderConfig
+
+
+def _random_photons(n, rng, lo=-1.0, hi=1.0):
+    pos = rng.uniform(lo, hi, (n, 3)).astype(np.float32)
+    power = rng.uniform(0.0, 2.0, (n, 3)).astype(np.float32)
+    dirs = rng.normal(size=(n, 3))
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    code = np.asarray(S.encode_direction(jnp.asarray(dirs))).astype(np.int32)
+    return pos, power, code
+
+
+def _oracle_estimate(pos, power, code, query, normal, exact, ct, kd, ks,
+                     shin, K, dist, filt, cfg):
+    """Brute-force EstimateRadiance (photon_utils.cpp:72-162) in numpy."""
+    d2 = np.sum((pos - query) ** 2, axis=1)
+    order = np.argsort(d2)
+    sel = [i for i in order if d2[i] <= dist * dist][:K]
+    if not sel:
+        return np.zeros(3)
+    if len(sel) < K:
+        maxd2 = dist * dist
+    else:
+        maxd2 = max(max(d2[i] for i in sel), 1e-6)
+    est = np.zeros(3)
+    total_w = 0.0
+    c1 = np.exp(-cfg.filter_const_b)
+    c2 = 1.0 / (2.0 * maxd2)
+    for i in sel:
+        inc = np.asarray(S.decode_direction(jnp.asarray([code[i]])))[0]
+        perp = float(np.dot(normal, inc))
+        if (ct < 0 and perp < 0) or (ct > 0 and perp > 0):
+            continue
+        cos_a = max(0.0, float(np.dot(exact, -inc)))
+        f = power[i] * (abs(perp) * kd + cos_a ** shin * ks)
+        if filt == 1:
+            f = f * (1.0 - np.sqrt(d2[i]) / (cfg.filter_const_k
+                                             * np.sqrt(maxd2)))
+        elif filt == 2:
+            w = 1.0 - (1.0 - c1 ** (c2 * d2[i])) / (1.0 - c1)
+            f = f * w
+            total_w += w
+        est = est + f
+    if filt == 0:
+        est = est / (np.pi * maxd2)
+    elif filt == 1:
+        est = est / ((1.0 - 2.0 / (3.0 * cfg.filter_const_k))
+                     * np.pi * maxd2)
+    elif filt == 2:
+        if total_w > 0:
+            est = est * (cfg.filter_const_a * len(sel) / total_w
+                         / (np.pi * maxd2))
+        else:
+            est = np.zeros(3)
+    return est
+
+
+@pytest.mark.parametrize("filt", [0, 1, 2])
+def test_estimate_radiance_vs_oracle(filt):
+    rng = np.random.default_rng(42)
+    n = 500
+    pos, power, code = _random_photons(n, rng)
+    cfg = RenderConfig(filter_const_k=1.1)
+    K, dist = 24, 0.4
+    grid = gather.build_grid(
+        jnp.asarray(pos), jnp.asarray(power), jnp.asarray(code),
+        jnp.ones((n,), bool), np.array([-1.0] * 3), np.array([1.0] * 3),
+        dist, cell_cap=n)  # cap >= n: no decimation in this test
+
+    B = 16
+    q = rng.uniform(-0.8, 0.8, (B, 3)).astype(np.float32)
+    normal = np.tile(np.array([0, 0, 1.0], np.float32), (B, 1))
+    exact = np.tile(np.array([0, 0, 1.0], np.float32), (B, 1))
+    ct = np.ones(B, np.float32)
+    kd = np.full((B, 3), 0.6, np.float32)
+    ks = np.full((B, 3), 0.3, np.float32)
+    shin = np.full(B, 8.0, np.float32)
+
+    got = np.asarray(gather.estimate_radiance(
+        grid, jnp.asarray(q), jnp.asarray(normal), jnp.asarray(exact),
+        jnp.asarray(ct), jnp.asarray(kd), jnp.asarray(ks), jnp.asarray(shin),
+        K, dist, filt, cfg))
+
+    for b in range(B):
+        want = _oracle_estimate(pos, power, code, q[b], normal[b], exact[b],
+                                ct[b], kd[b], ks[b], shin[b], K, dist, filt,
+                                cfg)
+        np.testing.assert_allclose(got[b], want, rtol=0.03, atol=5e-3)
+
+
+def test_direction_codec_roundtrip():
+    rng = np.random.default_rng(0)
+    v = rng.normal(size=(1000, 3))
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    code = S.encode_direction(jnp.asarray(v))
+    back = np.asarray(S.decode_direction(code))
+    dots = np.sum(v * back, axis=1)
+    # 8-bit phi/theta quantization: worst-case ~1.4 degrees
+    assert np.arccos(np.clip(dots, -1, 1)).max() < np.deg2rad(2.0)
+
+
+def test_rgbe_roundtrip():
+    rng = np.random.default_rng(1)
+    rgb = rng.uniform(0, 10, (500, 3)).astype(np.float32)
+    back = np.asarray(S.rgbe_to_rgb(S.rgb_to_rgbe(jnp.asarray(rgb))))
+    # RGBE quantizes at ~1/256 of the max channel (same as the reference's
+    # unsigned-char truncation, graphics_utils.cpp:56-59)
+    atol = rgb.max(axis=1, keepdims=True) / 128.0
+    assert (np.abs(back - rgb) <= atol).all()
+    # black maps to exact zero
+    z = np.asarray(S.rgbe_to_rgb(S.rgb_to_rgbe(jnp.zeros((1, 3)))))
+    assert (z == 0).all()
+
+
+def test_cosine_sampler_distribution():
+    key = jax.random.PRNGKey(0)
+    n = 20000
+    u = jax.random.uniform(key, (n, 2))
+    nrm = jnp.tile(jnp.asarray([0.0, 0.0, 1.0]), (n, 1))
+    d = np.asarray(S.diffuse_importance_sample(nrm, jnp.ones((n,)),
+                                               u[:, 0], u[:, 1]))
+    # all in upper hemisphere; E[cos theta] = 2/3 for cosine-weighted
+    assert (d[:, 2] > -1e-6).all()
+    assert abs(d[:, 2].mean() - 2.0 / 3.0) < 0.01
+
+
+def test_uniform_sphere_distribution():
+    key = jax.random.PRNGKey(1)
+    u = jax.random.uniform(key, (20000, 2))
+    d = np.asarray(S.uniform_sphere_dir(u[:, 0], u[:, 1]))
+    np.testing.assert_allclose(np.linalg.norm(d, axis=1), 1.0, atol=1e-5)
+    assert np.abs(d.mean(axis=0)).max() < 0.02
+
+
+def test_caustic_emission_round(cornell_scene):
+    """Cornell: caustic photons (LS+D paths through the glass sphere) land
+    mostly on the floor under/near the sphere."""
+    from gi_tpu.photon.trace import MAP_CAUSTIC, emit_round
+    cfg = RenderConfig(max_photon_depth=24)
+    key = jax.random.PRNGKey(0)
+    counts = (8192,)
+    pos, power, code, cnt = emit_round(cornell_scene, cfg, key, counts,
+                                       MAP_CAUSTIC, 4 * 8192)
+    n = int(cnt)
+    assert n > 50, "caustic paths through the glass sphere must store"
+    p = np.asarray(pos[:n])
+    assert np.isfinite(p).all()
+    # photons stored on scene surfaces (inside the box bounds)
+    assert p[:, 1].min() > -1e-3 and p[:, 1].max() < 1.2
+
+
+def test_global_map_build(cornell_scene):
+    from gi_tpu.photon.trace import MAP_GLOBAL, trace_photon_map
+    cfg = RenderConfig(global_photon_count=2000, max_photon_depth=16)
+    grid, stats = trace_photon_map(cornell_scene, cfg, jax.random.PRNGKey(0),
+                                   MAP_GLOBAL)
+    assert grid is not None
+    assert stats["stored"] >= 2000
+    assert stats["emitted"] > 0
+    # gather a radiance estimate at the floor center: must be positive
+    q = jnp.asarray([[0.55, 0.001, 0.55]])
+    nrm = jnp.asarray([[0.0, 1.0, 0.0]])
+    est = gather.estimate_radiance(
+        grid, q, nrm, nrm, jnp.asarray([1.0]),
+        jnp.full((1, 3), 0.8), jnp.zeros((1, 3)), jnp.asarray([10.0]),
+        cfg.global_estimate_size, cfg.global_estimate_dist, 0, cfg)
+    assert float(est.sum()) > 0
