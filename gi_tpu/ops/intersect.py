@@ -15,6 +15,8 @@ ray origins/directions (used for camera gradients).
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 from flax import struct
@@ -23,6 +25,35 @@ from ..scene.types import Scene
 
 INF = jnp.float32(jnp.inf)
 _DET_EPS = 1e-12
+
+# Pallas fast-path policy for the triangle scan: "auto" uses the kernel on
+# TPU backends for meshes big enough to pay off; "always"/"interpret" force
+# it (interpret = Pallas interpreter, for CPU tests); "never" disables.
+_PALLAS_MODE = os.environ.get("GI_TPU_PALLAS", "auto")
+_PALLAS_MIN_TRIS = 1024
+
+
+def set_pallas_mode(mode: str) -> None:
+    global _PALLAS_MODE
+    assert mode in ("auto", "always", "never", "interpret")
+    _PALLAS_MODE = mode
+
+
+def _default_platform() -> str:
+    # jax_default_device (set by tests to pin CPU) wins over backend priority:
+    # the tunneled TPU plugin registers even under JAX_PLATFORMS=cpu.
+    dev = jax.config.jax_default_device
+    if dev is not None:
+        return dev.platform
+    return jax.default_backend()
+
+
+def _use_pallas(n_tris: int) -> bool:
+    if _PALLAS_MODE == "never":
+        return False
+    if _PALLAS_MODE in ("always", "interpret"):
+        return True
+    return _default_platform() == "tpu" and n_tris >= _PALLAS_MIN_TRIS
 
 
 @struct.dataclass
@@ -233,6 +264,10 @@ def _tri_closest(o, d, tris, t_min, chunk=2048):
     B = o.shape[0]
     if N == 0:
         return jnp.full((B,), INF), jnp.zeros((B,), jnp.int32)
+    if _use_pallas(N):
+        from .pallas_intersect import tri_closest_pallas
+        return tri_closest_pallas(o, d, tris.v0, tris.e1, tris.e2, t_min,
+                                  interpret=(_PALLAS_MODE == "interpret"))
     if N <= chunk:
         t_all = _tri_t(o, d, tris.v0, tris.e1, tris.e2, t_min)
         idx = jnp.argmin(t_all, axis=1).astype(jnp.int32)

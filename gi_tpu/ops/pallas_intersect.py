@@ -1,0 +1,191 @@
+"""Pallas TPU kernel: ray-triangle closest hit over a triangle soup.
+
+The reference scans triangles linearly per TriangleArray on one CPU core
+(R3Isect.cpp:800-833).  Here the [rays x tris] Moller-Trumbore test is a
+Pallas kernel: the grid tiles (ray blocks x triangle chunks); each program
+computes a (TB, TC) block of hit distances entirely in VMEM with
+per-component broadcasts on the VPU, and folds a running (min t, argmin)
+into an output block that is revisited across the triangle-chunk grid
+dimension.  This avoids materializing the [B, N] intermediates the jnp
+path streams through HBM, so the op becomes compute-bound.
+
+Differentiability: the kernel returns (t, idx) with integer idx; gradients
+flow by *recomputing* t for the winning triangle with plain jnp ops
+(`tri_t_one`) — no custom VJP needed, and the recompute is O(B) not O(B*N).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_DET_EPS = 1e-12
+_BIG = 3.4e38   # stand-in for +inf inside the kernel (python float: not traced)
+
+TB = 256   # rays per block (sublane dim)
+TC = 512   # triangles per chunk (lane dim)
+
+
+def _tri_block_kernel(o_ref, d_ref, tri_ref, tmin_ref, t_out, i_out):
+    """One (ray block, tri chunk) tile.
+
+    o_ref/d_ref: (TB, 3) f32; tri_ref: (9, TC) f32 rows = v0/e1/e2 xyz;
+    tmin_ref: (TB, 1) f32 per-ray; outputs: (TB, 1) f32 / int32, revisited
+    over j.
+    """
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _init():
+        t_out[:] = jnp.full_like(t_out, _BIG)
+        i_out[:] = jnp.zeros_like(i_out)
+
+    t_min = tmin_ref[:]          # (TB, 1), broadcasts against (TB, TC)
+
+    ox = o_ref[:, 0:1]
+    oy = o_ref[:, 1:2]
+    oz = o_ref[:, 2:3]
+    dx = d_ref[:, 0:1]
+    dy = d_ref[:, 1:2]
+    dz = d_ref[:, 2:3]
+
+    v0x = tri_ref[0:1, :]
+    v0y = tri_ref[1:2, :]
+    v0z = tri_ref[2:3, :]
+    e1x = tri_ref[3:4, :]
+    e1y = tri_ref[4:5, :]
+    e1z = tri_ref[5:6, :]
+    e2x = tri_ref[6:7, :]
+    e2y = tri_ref[7:8, :]
+    e2z = tri_ref[8:9, :]
+
+    # pvec = d x e2  -> (TB, TC) per component
+    px = dy * e2z - dz * e2y
+    py = dz * e2x - dx * e2z
+    pz = dx * e2y - dy * e2x
+    det = e1x * px + e1y * py + e1z * pz
+
+    inv_det = jnp.where(jnp.abs(det) > _DET_EPS,
+                        1.0 / jnp.where(det == 0.0, 1.0, det), 0.0)
+
+    # tvec = o - v0
+    tx = ox - v0x
+    ty = oy - v0y
+    tz = oz - v0z
+    u = (tx * px + ty * py + tz * pz) * inv_det
+
+    # qvec = tvec x e1
+    qx = ty * e1z - tz * e1y
+    qy = tz * e1x - tx * e1z
+    qz = tx * e1y - ty * e1x
+    v = (dx * qx + dy * qy + dz * qz) * inv_det
+    t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+
+    ok = ((jnp.abs(det) > _DET_EPS) & (u >= 0.0) & (v >= 0.0)
+          & (u + v <= 1.0) & (t > t_min))
+    t = jnp.where(ok, t, _BIG)
+
+    blk_t = jnp.min(t, axis=1, keepdims=True)                  # (TB, 1)
+    blk_i = jnp.argmin(t, axis=1).astype(jnp.int32)[:, None] + j * TC
+
+    better = blk_t < t_out[:]
+    t_out[:] = jnp.where(better, blk_t, t_out[:])
+    i_out[:] = jnp.where(better, blk_i, i_out[:])
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _tri_closest_pallas_raw(o, d, tri9, t_min, interpret=False):
+    """o,d: [B,3] f32 (B % TB == 0); tri9: [9,N] f32 (N % TC == 0, padded
+    triangles have e1=e2=0); t_min: [B,1] f32 per-ray.  Returns
+    (t [B], idx [B]) with t==_BIG on miss."""
+    B = o.shape[0]
+    N = tri9.shape[1]
+    grid = (B // TB, N // TC)
+
+    t, idx = pl.pallas_call(
+        _tri_block_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((TB, 3), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, 3), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((9, TC), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, 1), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((TB, 1), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, 1), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, 1), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=54 * B * N, bytes_accessed=(B * 24 + N * 36 + B * 8),
+            transcendentals=0),
+        interpret=interpret,
+    )(o.astype(jnp.float32), d.astype(jnp.float32), tri9,
+      t_min.astype(jnp.float32))
+    return t[:, 0], idx[:, 0]
+
+
+def tri_t_one(o, d, v0, e1, e2, t_min):
+    """Differentiable Moller-Trumbore t for ray i vs its OWN triangle i:
+    o,d,v0,e1,e2 all [B,3].  Used to re-derive gradients for the winning
+    triangle chosen by the (non-differentiable) Pallas kernel."""
+    pvec = jnp.cross(d, e2)
+    det = jnp.sum(e1 * pvec, axis=-1)
+    safe = jnp.where(jnp.abs(det) > _DET_EPS, det, 1.0)
+    inv_det = jnp.where(jnp.abs(det) > _DET_EPS, 1.0 / safe, 0.0)
+    tvec = o - v0
+    qvec = jnp.cross(tvec, e1)
+    t = jnp.sum(e2 * qvec, axis=-1) * inv_det
+    return t
+
+
+def tri_closest_pallas(o, d, v0, e1, e2, t_min,
+                       interpret: bool = False):
+    """Closest-hit over triangle soup via the Pallas kernel.
+
+    o,d: [B,3]; v0/e1/e2: [N,3]; t_min: scalar or per-ray [B] / [B,1]
+    (shadow rays use per-ray epsilons, models/direct.py).  Returns
+    (t [B] f32 with inf on miss, idx [B] int32).  Differentiable in o and d
+    (via select-then-recompute); triangle gradients also flow through the
+    recompute.
+    """
+    B = o.shape[0]
+    N = v0.shape[0]
+    pad_b = (-B) % TB
+    pad_n = (-N) % TC
+
+    tmin_col = jnp.broadcast_to(
+        jnp.asarray(t_min, jnp.float32).reshape(-1, 1)
+        if jnp.ndim(t_min) > 0 else jnp.full((B, 1), t_min, jnp.float32),
+        (B, 1))
+    tmin_p = jnp.pad(tmin_col, ((0, pad_b), (0, 0)))
+    o_p = jnp.pad(o, ((0, pad_b), (0, 0)))
+    d_p = jnp.pad(d, ((0, pad_b), (0, 0)))
+    # transpose to [9, N]: component rows so the kernel reads lane vectors
+    tri9 = jnp.concatenate([v0.T, e1.T, e2.T], axis=0).astype(jnp.float32)
+    tri9 = jnp.pad(tri9, ((0, 0), (0, pad_n)))
+
+    t_raw, idx = _tri_closest_pallas_raw(
+        jax.lax.stop_gradient(o_p), jax.lax.stop_gradient(d_p), tri9,
+        jax.lax.stop_gradient(tmin_p), interpret=interpret)
+    t_raw = t_raw[:B]
+    idx = jnp.minimum(idx[:B], N - 1)
+
+    hit = t_raw < _BIG * 0.5
+    # recompute t differentiably for the winning triangle only
+    t_diff = tri_t_one(o, d, v0[idx], e1[idx], e2[idx], t_min)
+    t = jnp.where(hit, t_diff, jnp.inf)
+    return t, idx

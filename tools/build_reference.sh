@@ -19,7 +19,9 @@ cd "$OUT/src"
 rm -f photonmap visualize
 # offsetof returns size_t; ambiguous overload on LP64 Linux
 sed -i 's/offsetof(struct Photon, position)/(int) offsetof(struct Photon, position)/' photonmap.cpp
-make photonmap \
+# USER_CFLAGS is exported so the recursive per-library makes (which build
+# with BASE_CFLAGS=$(USER_CFLAGS) -Wall -I. -I..) also see the GL stub.
+USER_CFLAGS="-std=c++17 -I$STUB" make photonmap \
     CPPFLAGS="-Wall -I. -O3 -DNDEBUG -std=c++17 -I$STUB" \
     OPENGL_LIBS= -j"$(nproc)" >/dev/null
 test -x photonmap && echo "built $OUT/src/photonmap"
