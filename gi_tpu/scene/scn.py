@@ -288,7 +288,8 @@ def _parse_file(b: _Builder, path: str, real_material: bool,
             m = geti()
             name = next(it)
             mpath = os.path.join(os.path.dirname(path), name)
-            verts, faces = read_off(mpath)
+            from .mesh_io import read_mesh
+            verts, faces = read_mesh(mpath)
             mid = mat_id(m)
             if not _is_identity(M):
                 verts = np.array([_xform_point(M, v) for v in verts])
@@ -375,9 +376,46 @@ def _parse_file(b: _Builder, path: str, real_material: bool,
 
 
 def load_scene(path: str, real_material: bool = False) -> Scene:
-    """Parse a .scn file and compile it into a device Scene pytree."""
+    """Compile a scene file into a device Scene pytree.
+
+    Extension-dispatched like the reference `R3Scene::ReadFile`
+    (R3Scene.cpp:515-560): `.scn` parses the Princeton command surface;
+    bare meshes (`.off`/`.ply`/`.obj`) become a default-lit scene (white
+    diffuse material, a point light at the eye, and a camera fitted to the
+    mesh bbox — the reference's default-camera behavior, R3Camera.cpp:15)."""
+    low = path.lower()
+    if low.endswith((".off", ".ply", ".obj")):
+        return load_mesh_scene(path)
     b = _Builder()
     _parse_file(b, path, real_material, np.eye(4))
+    return compile_scene(b)
+
+
+def load_mesh_scene(path: str) -> Scene:
+    """Build a renderable scene around a bare mesh file."""
+    from .mesh_io import read_mesh
+
+    verts, faces = read_mesh(path)
+    b = _Builder()
+    b.materials.append(dict(
+        _DEFAULT_MATERIAL,
+        kd=np.array([0.7, 0.7, 0.7]), ka=np.array([0.1, 0.1, 0.1])))
+    for (i, j, k) in faces:
+        b.add_tri(verts[i], verts[j], verts[k], 0)
+
+    lo, hi = verts.min(axis=0), verts.max(axis=0)
+    center = 0.5 * (lo + hi)
+    radius = max(float(np.linalg.norm(hi - lo)) * 0.5, 1e-3)
+    eye = center + np.array([0.0, 0.0, 2.5 * radius])
+    towards = np.array([0.0, 0.0, -1.0])
+    up = np.array([0.0, 1.0, 0.0])
+    right = np.cross(towards, up)
+    b.camera = dict(eye=eye, towards=towards, up=up, right=right,
+                    xfov=0.5, yfov=0.5, neardist=0.01 * radius,
+                    fardist=100.0 * radius)
+    b.lights.append(dict(kind=LIGHT_POINT, color=np.ones(3), position=eye,
+                         ca=1.0, la=0.0, qa=0.0))
+    b.ambient = np.array([0.1, 0.1, 0.1])
     return compile_scene(b)
 
 
