@@ -30,12 +30,21 @@ TB = 256   # rays per block (sublane dim)
 TC = 512   # triangles per chunk (lane dim)
 
 
-def _tri_block_kernel(o_ref, d_ref, tri_ref, tmin_ref, t_out, i_out):
+def _tri_block_kernel(o_ref, d_ref, tri_ref, tmin_ref, clo_ref, chi_ref,
+                      t_out, i_out):
     """One (ray block, tri chunk) tile.
 
     o_ref/d_ref: (TB, 3) f32; tri_ref: (9, TC) f32 rows = v0/e1/e2 xyz;
-    tmin_ref: (TB, 1) f32 per-ray; outputs: (TB, 1) f32 / int32, revisited
-    over j.
+    tmin_ref: (TB, 1) f32 per-ray; clo_ref/chi_ref: (1, 3) f32 chunk bbox
+    (triangles are Morton-ordered at scene compile, scene/types.py, so
+    chunk bboxes are tight); outputs: (TB, 1) f32 / int32, revisited over j.
+
+    The whole Moller-Trumbore body is predicated on a ray-block x chunk-bbox
+    slab test: if no live ray in the block can enter this chunk's bbox
+    closer than its current best hit, the chunk is skipped. This is the
+    TPU-shaped replacement for the reference's per-node bbox early-out
+    (R3SceneNode.cpp:421-504) — branch granularity is the (256-ray x
+    512-tri) block, not the single ray.
     """
     j = pl.program_id(1)
 
@@ -46,6 +55,37 @@ def _tri_block_kernel(o_ref, d_ref, tri_ref, tmin_ref, t_out, i_out):
 
     t_min = tmin_ref[:]          # (TB, 1), broadcasts against (TB, TC)
 
+    ox = o_ref[:, 0:1]
+    oy = o_ref[:, 1:2]
+    oz = o_ref[:, 2:3]
+    dx = d_ref[:, 0:1]
+    dy = d_ref[:, 1:2]
+    dz = d_ref[:, 2:3]
+
+    # ---- block cull: rays vs chunk bbox slab test -------------------------
+    def axis_slab(o_c, d_c, lo_c, hi_c):
+        safe = jnp.where(jnp.abs(d_c) > 1e-30, d_c,
+                         jnp.where(d_c >= 0.0, 1e-30, -1e-30))
+        inv = 1.0 / safe
+        t0 = (lo_c - o_c) * inv
+        t1 = (hi_c - o_c) * inv
+        return jnp.minimum(t0, t1), jnp.maximum(t0, t1)
+
+    ex, xx = axis_slab(ox, dx, clo_ref[0, 0, 0], chi_ref[0, 0, 0])
+    ey, xy = axis_slab(oy, dy, clo_ref[0, 0, 1], chi_ref[0, 0, 1])
+    ez, xz = axis_slab(oz, dz, clo_ref[0, 0, 2], chi_ref[0, 0, 2])
+    t_enter = jnp.maximum(jnp.maximum(ex, ey), ez)            # (TB, 1)
+    t_exit = jnp.minimum(jnp.minimum(xx, xy), xz)
+    reachable = ((t_exit >= jnp.maximum(t_enter, t_min))
+                 & (t_enter <= t_out[:]))
+    any_reachable = jnp.any(reachable)
+
+    @pl.when(any_reachable)
+    def _body():
+        _tri_block_body(o_ref, d_ref, tri_ref, t_min, t_out, i_out, j)
+
+
+def _tri_block_body(o_ref, d_ref, tri_ref, t_min, t_out, i_out, j):
     ox = o_ref[:, 0:1]
     oy = o_ref[:, 1:2]
     oz = o_ref[:, 2:3]
@@ -98,10 +138,12 @@ def _tri_block_kernel(o_ref, d_ref, tri_ref, tmin_ref, t_out, i_out):
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def _tri_closest_pallas_raw(o, d, tri9, t_min, interpret=False):
+def _tri_closest_pallas_raw(o, d, tri9, t_min, chunk_lo, chunk_hi,
+                            interpret=False):
     """o,d: [B,3] f32 (B % TB == 0); tri9: [9,N] f32 (N % TC == 0, padded
-    triangles have e1=e2=0); t_min: [B,1] f32 per-ray.  Returns
-    (t [B], idx [B]) with t==_BIG on miss."""
+    triangles have e1=e2=0); t_min: [B,1] f32 per-ray; chunk_lo/hi:
+    [N//TC, 3] f32 per-chunk bboxes.  Returns (t [B], idx [B]) with
+    t==_BIG on miss."""
     B = o.shape[0]
     N = tri9.shape[1]
     grid = (B // TB, N // TC)
@@ -118,6 +160,10 @@ def _tri_closest_pallas_raw(o, d, tri9, t_min, interpret=False):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((TB, 1), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 3), lambda i, j: (j, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 3), lambda i, j: (j, 0, 0),
+                         memory_space=pltpu.SMEM),
         ],
         out_specs=[
             pl.BlockSpec((TB, 1), lambda i, j: (i, 0),
@@ -134,7 +180,7 @@ def _tri_closest_pallas_raw(o, d, tri9, t_min, interpret=False):
             transcendentals=0),
         interpret=interpret,
     )(o.astype(jnp.float32), d.astype(jnp.float32), tri9,
-      t_min.astype(jnp.float32))
+      t_min.astype(jnp.float32), chunk_lo, chunk_hi)
     return t[:, 0], idx[:, 0]
 
 
@@ -174,13 +220,34 @@ def tri_closest_pallas(o, d, v0, e1, e2, t_min,
     tmin_p = jnp.pad(tmin_col, ((0, pad_b), (0, 0)))
     o_p = jnp.pad(o, ((0, pad_b), (0, 0)))
     d_p = jnp.pad(d, ((0, pad_b), (0, 0)))
+    # Pad v0 by edge-replication (padded tris stay point-sized inside the
+    # last chunk's bbox, never hit since e1=e2=0); e1/e2 pad with zeros.
+    v0_p = jnp.concatenate([v0, jnp.broadcast_to(v0[-1:], (pad_n, 3))],
+                           axis=0) if pad_n else v0
+    e1_p = jnp.pad(e1, ((0, pad_n), (0, 0)))
+    e2_p = jnp.pad(e2, ((0, pad_n), (0, 0)))
+
+    # Per-chunk bboxes for the kernel's block cull (slightly inflated so
+    # f32 slab rounding can never cull a chunk containing a true hit).
+    n_chunks = (N + pad_n) // TC
+    p0 = v0_p.reshape(n_chunks, TC, 3)
+    p1 = (v0_p + e1_p).reshape(n_chunks, TC, 3)
+    p2 = (v0_p + e2_p).reshape(n_chunks, TC, 3)
+    c_lo = jnp.minimum(jnp.minimum(p0.min(1), p1.min(1)), p2.min(1))
+    c_hi = jnp.maximum(jnp.maximum(p0.max(1), p1.max(1)), p2.max(1))
+    margin = 1e-4 * (c_hi - c_lo) + 1e-5
+    c_lo = (c_lo - margin).astype(jnp.float32)[:, None, :]   # [nc,1,3] SMEM
+    c_hi = (c_hi + margin).astype(jnp.float32)[:, None, :]
+
     # transpose to [9, N]: component rows so the kernel reads lane vectors
-    tri9 = jnp.concatenate([v0.T, e1.T, e2.T], axis=0).astype(jnp.float32)
-    tri9 = jnp.pad(tri9, ((0, 0), (0, pad_n)))
+    tri9 = jnp.concatenate(
+        [v0_p.T, e1_p.T, e2_p.T], axis=0).astype(jnp.float32)
 
     t_raw, idx = _tri_closest_pallas_raw(
         jax.lax.stop_gradient(o_p), jax.lax.stop_gradient(d_p), tri9,
-        jax.lax.stop_gradient(tmin_p), interpret=interpret)
+        jax.lax.stop_gradient(tmin_p),
+        jax.lax.stop_gradient(c_lo), jax.lax.stop_gradient(c_hi),
+        interpret=interpret)
     t_raw = t_raw[:B]
     idx = jnp.minimum(idx[:B], N - 1)
 

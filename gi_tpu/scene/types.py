@@ -171,13 +171,29 @@ def build_scene(
     cones_np: dict, circles_np: dict, materials_np: dict, lights_np: dict,
     camera_np: dict, ambient, background,
 ) -> Scene:
-    """Assemble a Scene pytree from host-side numpy dicts (see scene/scn.py)."""
+    """Assemble a Scene pytree from host-side numpy dicts (see scene/scn.py).
+
+    Triangles are Morton-reordered at compile time (native gi_morton_order)
+    so that consecutive chunks are spatially tight — the property the Pallas
+    block-culled intersection kernel prunes on. The reordering is invisible
+    to callers: Hit carries material/normal, not triangle ids."""
+    tv0 = _np(tris_np["v0"]).reshape(-1, 3)
+    te1 = _np(tris_np["e1"]).reshape(-1, 3)
+    te2 = _np(tris_np["e2"]).reshape(-1, 3)
+    tnormal = _np(tris_np["normal"]).reshape(-1, 3)
+    tmat = _np(tris_np["mat"], np.int32).reshape(-1)
+    if tv0.shape[0] > 1:
+        from ..native import morton_order
+        centroid = tv0 + (te1 + te2) / 3.0
+        order = np.asarray(morton_order(centroid), np.int64)
+        tv0, te1, te2 = tv0[order], te1[order], te2[order]
+        tnormal, tmat = tnormal[order], tmat[order]
     tris = Triangles(
-        v0=jnp.asarray(_np(tris_np["v0"]).reshape(-1, 3)),
-        e1=jnp.asarray(_np(tris_np["e1"]).reshape(-1, 3)),
-        e2=jnp.asarray(_np(tris_np["e2"]).reshape(-1, 3)),
-        normal=jnp.asarray(_np(tris_np["normal"]).reshape(-1, 3)),
-        mat=jnp.asarray(_np(tris_np["mat"], np.int32).reshape(-1)),
+        v0=jnp.asarray(tv0),
+        e1=jnp.asarray(te1),
+        e2=jnp.asarray(te2),
+        normal=jnp.asarray(tnormal),
+        mat=jnp.asarray(tmat),
     )
     spheres = Spheres(
         center=jnp.asarray(_np(spheres_np["center"]).reshape(-1, 3)),
