@@ -36,7 +36,18 @@ def main(argv=None):
     key, k_maps = jax.random.split(key)
 
     maps = None
-    if cfg.indirect_illum or cfg.caustic_illum or cfg.direct_photon_illum:
+    if cfg.load_maps:
+        from .photon.checkpoint import load_maps
+        t1 = time.time()
+        maps = load_maps(cfg.load_maps)
+        if maps.global_ is None:
+            cfg = cfg.replace(indirect_illum=False, direct_photon_illum=False)
+        if maps.caustic is None:
+            cfg = cfg.replace(caustic_illum=False)
+        if cfg.verbose:
+            print(f"Loaded photon maps from {cfg.load_maps} ...")
+            print(f"  Time = {time.time() - t1:.2f} seconds")
+    elif cfg.indirect_illum or cfg.caustic_illum or cfg.direct_photon_illum:
         t1 = time.time()
         if cfg.verbose:
             print("Building photon maps ...")
@@ -44,6 +55,12 @@ def main(argv=None):
                                       verbose=cfg.verbose)
         if cfg.verbose:
             print(f"  Total Time = {time.time() - t1:.2f} seconds")
+
+    if cfg.save_maps and maps is not None:
+        from .photon.checkpoint import save_maps
+        save_maps(cfg.save_maps, maps)
+        if cfg.verbose:
+            print(f"Saved photon maps to {cfg.save_maps} ...")
 
     t2 = time.time()
     if cfg.verbose:

@@ -59,12 +59,18 @@ class PhotonMaps:
 def build_grid(pos: jnp.ndarray, power: jnp.ndarray, dir_code: jnp.ndarray,
                valid: jnp.ndarray, bbox_lo: np.ndarray, bbox_hi: np.ndarray,
                cell_size: float, cell_cap: int,
-               max_dim: int = 256) -> PhotonGrid:
+               max_dim: int = 256, dims: tuple | None = None) -> PhotonGrid:
     """Sort photons into a uniform grid.  bbox/cell_size are host values
-    (static grid dims); photon arrays are device tensors."""
+    (static grid dims); photon arrays are device tensors.  `dims` overrides
+    the derived grid dimensions (checkpoint restore passes the saved ones so
+    the rebuilt grid is bit-identical)."""
     span = np.maximum(np.asarray(bbox_hi) - np.asarray(bbox_lo), 1e-6)
     cell = float(max(cell_size, span.max() / max_dim))
-    dims = tuple(int(min(max_dim, max(1, np.ceil(s / cell)))) for s in span)
+    if dims is None:
+        dims = tuple(int(min(max_dim, max(1, np.ceil(s / cell))))
+                     for s in span)
+    else:
+        dims = tuple(int(x) for x in dims)
     nx, ny, nz = dims
     n_cells = nx * ny * nz
 

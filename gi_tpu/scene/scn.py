@@ -386,6 +386,12 @@ def load_scene(path: str, real_material: bool = False) -> Scene:
     low = path.lower()
     if low.endswith((".off", ".ply", ".obj")):
         return load_mesh_scene(path)
+    if not low.endswith(".scn"):
+        # mirror the reference's "unrecognized extension" diagnostic
+        # (R3Scene.cpp:552-556) instead of misparsing as .scn
+        raise ValueError(
+            f"Unable to read file {path} (unrecognized extension; "
+            "expected .scn, .off, .ply, or .obj)")
     b = _Builder()
     _parse_file(b, path, real_material, np.eye(4))
     return compile_scene(b)

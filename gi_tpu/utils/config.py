@@ -90,6 +90,8 @@ class RenderConfig:
     seed: int = 0
     use_pallas: str = "auto"          # "auto" | "always" | "never"
     differentiable: bool = False      # fixed-trip scan walk (reverse-mode AD)
+    save_maps: str | None = None      # checkpoint photon maps after build
+    load_maps: str | None = None      # restore photon maps (skip tracing)
 
     def replace(self, **kw) -> "RenderConfig":
         return dataclasses.replace(self, **kw)
@@ -226,6 +228,10 @@ def parse_args(argv: list[str]) -> tuple[str, str | None, RenderConfig]:
             cfg["ray_tile"] = max(256, geti(it))
         elif arg == "-pallas":
             cfg["use_pallas"] = next(it)
+        elif arg == "-save_maps":
+            cfg["save_maps"] = next(it)
+        elif arg == "-load_maps":
+            cfg["load_maps"] = next(it)
         else:
             raise SystemExit(f"Invalid program argument: {arg}")
 
