@@ -72,9 +72,22 @@ def main(argv=None):
             print(f"[{'=' * bar}{' ' * (50 - bar)}] {int(frac * 100)}%",
                   end="\r", flush=True)
 
-    img = render_image(scene, cfg, photon_maps=maps, progress=progress)
+    from .utils.stats import RenderStats
+    stats = RenderStats() if cfg.verbose else None
+
+    if cfg.trace_dir:
+        jax.profiler.start_trace(cfg.trace_dir)
+    img = render_image(scene, cfg, photon_maps=maps, progress=progress,
+                       stats=stats)
+    if cfg.trace_dir:
+        jax.profiler.stop_trace()
+        if cfg.verbose:
+            print(f"\nWrote profiler trace to {cfg.trace_dir} ...")
+
     if cfg.verbose:
+        # reference verbose block (render.cpp:224-254)
         print(f"\nRendered image ...\n  Time = {time.time() - t2:.2f} seconds")
+        print(stats.report(cfg))
 
     write_image(img, image_name)
     if cfg.verbose:

@@ -28,12 +28,29 @@ from flax import struct
 from ..ops import sampling as S
 from ..ops.intersect import intersect_scene
 from ..photon import gather
-from ..scene.types import Scene
+from ..scene.types import LIGHT_AREA, LIGHT_RECT, Scene
+from ..utils import stats as ST
 from ..utils.config import RenderConfig
 from .direct import shade_direct
 
 PHASE_PATH = 0      # MonteCarlo_PathTrace semantics
 PHASE_INDIRECT = 1  # MonteCarlo_IndirectSample semantics
+
+
+def _shadow_rays_per_light(scene: Scene, cfg: RenderConfig,
+                           in_monte_carlo: bool) -> int:
+    """Static shadow-ray count per shaded hit, summed over lights
+    (ComputeIllumination dispatch, illumination_utils.cpp:425-494; inside
+    Monte Carlo 2D-light sampling is capped at 2, :435-438)."""
+    if not (cfg.shadows and cfg.direct_illum):
+        return 0
+    n = 0
+    for kind in scene.lights.kind:
+        if kind in (LIGHT_AREA, LIGHT_RECT) and cfg.soft_shadows:
+            n += 2 if in_monte_carlo else (cfg.light_test + cfg.shadow_test)
+        else:
+            n += 1
+    return n
 
 
 @struct.dataclass
@@ -46,6 +63,7 @@ class WalkState:
     alive: jnp.ndarray    # [B] bool
     color: jnp.ndarray    # [B,3] accumulated radiance
     depth: jnp.ndarray    # [] int32
+    counters: jnp.ndarray  # [ST.N_COUNTERS] int32 dispatched-ray counters
 
 
 def _bounce_eps(scene):
@@ -59,7 +77,10 @@ def mc_walk(scene: Scene, cfg: RenderConfig, key, o, d, weight, phase, alive,
     state = WalkState(
         key=key, o=o, d=d, weight=weight,
         phase=phase.astype(jnp.int32), alive=alive,
-        color=jnp.zeros((B, 3)), depth=jnp.asarray(0, jnp.int32))
+        color=jnp.zeros((B, 3)), depth=jnp.asarray(0, jnp.int32),
+        counters=jnp.zeros((ST.N_COUNTERS,), jnp.int32))
+
+    mc_shadow_factor = _shadow_rays_per_light(scene, cfg, in_monte_carlo=True)
 
     def cond(s: WalkState):
         return (s.depth < cfg.max_monte_depth) & jnp.any(s.alive)
@@ -68,6 +89,14 @@ def mc_walk(scene: Scene, cfg: RenderConfig, key, o, d, weight, phase, alive,
         key, k_dir, k_rr, k_spec = jax.random.split(s.key, 4)
         hit = intersect_scene(scene, s.o, s.d, t_min=0.0)
         mats = scene.materials
+
+        # per-hop ray accounting (reference monte_ray_count++ per walk step)
+        n_alive = jnp.sum(s.alive, dtype=jnp.int32)
+        counters = s.counters.at[ST.MONTE].add(n_alive)
+        if cfg.monte_carlo:
+            counters = counters.at[ST.SHADOW].add(
+                jnp.sum(s.alive & hit.valid, dtype=jnp.int32)
+                * mc_shadow_factor)
 
         # ---- miss: background, die (montecarlo.cpp:165-169,299-303) ----
         miss = s.alive & ~hit.valid
@@ -105,6 +134,8 @@ def mc_walk(scene: Scene, cfg: RenderConfig, key, o, d, weight, phase, alive,
                     cfg.caustic_filter, cfg)
                 is_d_ = jnp.any(kd > 0, axis=-1)
                 buffer = buffer + jnp.where(is_d_[:, None], caus, 0.0)
+                counters = counters.at[ST.CAUSTIC].add(
+                    jnp.sum(in_path & is_d_, dtype=jnp.int32))
             color = color + jnp.where(in_path[:, None], buffer * s.weight, 0.0)
 
         # ---- Russian roulette branch selection -------------------------
@@ -240,7 +271,7 @@ def mc_walk(scene: Scene, cfg: RenderConfig, key, o, d, weight, phase, alive,
                           hit.point + new_d * _bounce_eps(scene), s.o)
         return WalkState(key=key, o=new_o, d=new_d, weight=new_weight,
                          phase=new_phase, alive=alive, color=color,
-                         depth=s.depth + 1)
+                         depth=s.depth + 1, counters=counters)
 
     if cfg.differentiable:
         # reverse-mode AD can't differentiate while_loop; unroll to a
@@ -251,14 +282,17 @@ def mc_walk(scene: Scene, cfg: RenderConfig, key, o, d, weight, phase, alive,
                                 length=cfg.max_monte_depth)
     else:
         final = jax.lax.while_loop(cond, body, state)
-    return final.color
+    return final.color, final.counters
 
 
 def shade_secondary(scene: Scene, cfg: RenderConfig, key, hit, ray_o, ray_d,
                     color, photon_maps):
     """Secondary layers of RayTrace (raytracer.cpp:204-231): transmissive +
     specular + indirect sample batches (one fused walk) and the direct
-    caustic / global-map estimates at the primary hit."""
+    caustic / global-map estimates at the primary hit.
+
+    Returns (color, counters[ST.N_COUNTERS] int32)."""
+    counters = jnp.zeros((ST.N_COUNTERS,), jnp.int32)
     mats = scene.materials
     B = hit.t.shape[0]
     kd = mats.kd[hit.mat]
@@ -326,14 +360,26 @@ def shade_secondary(scene: Scene, cfg: RenderConfig, key, hit, ray_o, ray_d,
         spawn(k, cfg.indirect_test, None, PHASE_INDIRECT, active, kd, False)
 
     if groups:
+        # sample-spawn accounting (raytracer.cpp:57,89,119 sample loops);
+        # group order matches the spawn calls above
+        cat = iter([ST.TRANSMISSIVE] * (1 if cfg.transmissive_illum
+                                        and cfg.monte_carlo else 0)
+                   + [ST.SPECULAR] * (1 if cfg.specular_illum
+                                      and cfg.monte_carlo else 0)
+                   + [ST.INDIRECT] * (1 if cfg.indirect_illum else 0))
+        for (_, _, _, _, _, ns, _, active) in groups:
+            counters = counters.at[next(cat)].add(
+                jnp.sum(active, dtype=jnp.int32) * ns)
+
         o2 = jnp.concatenate([g[0] for g in groups])
         d2 = jnp.concatenate([g[1] for g in groups])
         w2 = jnp.concatenate([g[2] for g in groups])
         ph2 = jnp.concatenate([g[3] for g in groups])
         al2 = jnp.concatenate([g[4] for g in groups])
         key, k_walk = jax.random.split(key)
-        walked = mc_walk(scene, cfg, k_walk, o2, d2, w2, ph2, al2,
-                         photon_maps)
+        walked, walk_counters = mc_walk(scene, cfg, k_walk, o2, d2, w2, ph2,
+                                        al2, photon_maps)
+        counters = counters + walk_counters
         ofs = 0
         for (_, _, _, _, _, ns, total_w, active) in groups:
             part = walked[ofs:ofs + B * ns].reshape(B, ns, 3).mean(axis=1)
@@ -349,6 +395,8 @@ def shade_secondary(scene: Scene, cfg: RenderConfig, key, hit, ray_o, ray_d,
             kd, ks, shin, cfg.caustic_estimate_size,
             cfg.caustic_estimate_dist, cfg.caustic_filter, cfg)
         color = color + jnp.where((hit.valid & is_d)[:, None], caus, 0.0)
+        counters = counters.at[ST.CAUSTIC].add(
+            jnp.sum(hit.valid & is_d, dtype=jnp.int32))
 
     # Direct photon-map visualization / fast-global layer
     # (raytracer.cpp:151-167, gated by -photon_viz/-fast_global)
@@ -366,4 +414,4 @@ def shade_secondary(scene: Scene, cfg: RenderConfig, key, hit, ray_o, ray_d,
                 cfg.global_estimate_dist, cfg.global_filter, cfg)
         color = color + jnp.where((hit.valid & is_d)[:, None], g, 0.0)
 
-    return color
+    return color, counters

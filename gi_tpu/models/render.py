@@ -11,6 +11,7 @@ on the full supersampled buffer at the end.
 
 from __future__ import annotations
 
+import time
 from functools import partial
 
 import jax
@@ -19,6 +20,7 @@ import numpy as np
 
 from ..ops.intersect import intersect_scene
 from ..scene.types import Scene
+from ..utils import stats as ST
 from ..utils.config import RenderConfig
 from . import montecarlo
 from .camera import eye_rays
@@ -26,10 +28,12 @@ from .direct import shade_direct
 
 
 def shade_hits(scene: Scene, cfg: RenderConfig, key, hit, ray_o, ray_d,
-               photon_maps=None) -> jnp.ndarray:
+               photon_maps=None):
     """Per-hit shading decomposition — reference RayTrace
     (raytracer.cpp:174-233): ambient + direct + transmissive + specular +
-    indirect + caustic (+ photon visualization), each gated by config."""
+    indirect + caustic (+ photon visualization), each gated by config.
+
+    Returns (color [B,3], counters [stats.N_COUNTERS] int32)."""
     mats = scene.materials
     B = hit.t.shape[0]
     color = jnp.zeros((B, 3))
@@ -44,22 +48,33 @@ def shade_hits(scene: Scene, cfg: RenderConfig, key, hit, ray_o, ray_d,
         is_amb = jnp.any(ka > 0, axis=-1)
         color = color + scene.ambient + jnp.where(is_amb[:, None], ka, 0.0)
 
+    counters = jnp.zeros((ST.N_COUNTERS,), jnp.int32)
     if cfg.direct_illum:
         key, sub = jax.random.split(key)
         color = shade_direct(scene, cfg, sub, hit, ray_o, color,
                              in_monte_carlo=False)
+        # primary shadow-ray accounting: rays fired per shaded hit
+        # (illumination_utils.cpp:149-261)
+        shaded = hit.valid & (jnp.any(kd > 0, -1) | jnp.any(ks > 0, -1))
+        factor = montecarlo._shadow_rays_per_light(scene, cfg,
+                                                   in_monte_carlo=False)
+        counters = counters.at[ST.SHADOW].add(
+            jnp.sum(shaded, dtype=jnp.int32) * factor)
 
     # Secondary terms (Monte Carlo / photon map layers)
-    color = montecarlo.shade_secondary(scene, cfg, key, hit, ray_o, ray_d,
-                                       color, photon_maps)
+    color, sec_counters = montecarlo.shade_secondary(
+        scene, cfg, key, hit, ray_o, ray_d, color, photon_maps)
+    counters = counters + sec_counters
 
-    return jnp.where(hit.valid[:, None], color, scene.background)
+    return jnp.where(hit.valid[:, None], color, scene.background), counters
 
 
-@partial(jax.jit, static_argnames=("cfg", "width", "height"))
+@partial(jax.jit, static_argnames=("cfg", "width", "height", "with_stats"))
 def render_tile(scene: Scene, cfg: RenderConfig, key, pixel_idx: jnp.ndarray,
-                width: int, height: int, photon_maps=None) -> jnp.ndarray:
-    """Render a tile of supersampled pixels -> [B,3] colors (DOF-averaged)."""
+                width: int, height: int, photon_maps=None,
+                with_stats: bool = False):
+    """Render a tile of supersampled pixels -> [B,3] colors (DOF-averaged),
+    plus a per-category dispatched-ray counter vector when with_stats."""
     n_dof = cfg.dof_test if cfg.depth_of_field else 1
     key_dof, key_shade = jax.random.split(key)
     o, d = eye_rays(scene, cfg, key_dof, pixel_idx, width, height, n_dof)
@@ -67,13 +82,19 @@ def render_tile(scene: Scene, cfg: RenderConfig, key, pixel_idx: jnp.ndarray,
     o = o.reshape(B * n_dof, 3)
     d = d.reshape(B * n_dof, 3)
     hit = intersect_scene(scene, o, d, t_min=0.0)
-    color = shade_hits(scene, cfg, key_shade, hit, o, d, photon_maps)
-    return color.reshape(B, n_dof, 3).mean(axis=1)
+    color, counters = shade_hits(scene, cfg, key_shade, hit, o, d,
+                                 photon_maps)
+    color = color.reshape(B, n_dof, 3).mean(axis=1)
+    if not with_stats:
+        return color
+    counters = counters.at[ST.SCREEN].add(B * n_dof)
+    return color, counters
 
 
 def render_image(scene: Scene, cfg: RenderConfig, photon_maps=None,
-                 progress=None) -> np.ndarray:
-    """Render the full image; returns [H,W,3] float (row 0 = bottom)."""
+                 progress=None, stats=None) -> np.ndarray:
+    """Render the full image; returns [H,W,3] float (row 0 = bottom).
+    Pass a utils.stats.RenderStats as `stats` to collect ray counters."""
     aa_factor = 2 ** cfg.aa
     sw, sh = cfg.width * aa_factor, cfg.height * aa_factor
     total = sw * sh
@@ -82,16 +103,23 @@ def render_image(scene: Scene, cfg: RenderConfig, photon_maps=None,
     key = jax.random.PRNGKey(cfg.seed)
     fb = np.zeros((total, 3), np.float32)
     n_tiles = (total + tile - 1) // tile
+    t0 = time.time()
     for t in range(n_tiles):
         start = t * tile
         idx = (start + jnp.arange(tile, dtype=jnp.int32)) % total
         key, sub = jax.random.split(key)
-        out = np.asarray(render_tile(scene, cfg, sub, idx, sw, sh,
-                                     photon_maps))
+        out = render_tile(scene, cfg, sub, idx, sw, sh, photon_maps,
+                          with_stats=stats is not None)
+        if stats is not None:
+            out, counters = out
+            stats.add(np.asarray(counters))
+        out = np.asarray(out)
         end = min(start + tile, total)
         fb[start:end] = out[: end - start]
         if progress is not None:
             progress((t + 1) / n_tiles)
+    if stats is not None:
+        stats.seconds += time.time() - t0
 
     # Clamp each supersample, then box-filter down (render.cpp:204-221)
     img = np.clip(fb.reshape(sh, sw, 3), 0.0, 1.0)

@@ -92,6 +92,7 @@ class RenderConfig:
     differentiable: bool = False      # fixed-trip scan walk (reverse-mode AD)
     save_maps: str | None = None      # checkpoint photon maps after build
     load_maps: str | None = None      # restore photon maps (skip tracing)
+    trace_dir: str | None = None      # jax.profiler trace output directory
 
     def replace(self, **kw) -> "RenderConfig":
         return dataclasses.replace(self, **kw)
@@ -232,6 +233,8 @@ def parse_args(argv: list[str]) -> tuple[str, str | None, RenderConfig]:
             cfg["save_maps"] = next(it)
         elif arg == "-load_maps":
             cfg["load_maps"] = next(it)
+        elif arg == "-trace":
+            cfg["trace_dir"] = next(it)
         else:
             raise SystemExit(f"Invalid program argument: {arg}")
 
