@@ -133,6 +133,15 @@ def _candidates(grid: PhotonGrid, point: jnp.ndarray):
 # Filter ids (utils/config.py): DISK=0, CONE=1, GAUSS=2
 
 
+def _auto_chunk(grid: PhotonGrid, chunk: int) -> int:
+    """Bound the candidate matrix [chunk, 27*cell_cap] to ~4M entries so the
+    gather temporaries stay well under HBM even at the reference's largest
+    estimate sizes (-cs 500 -> cell_cap 1000 -> 27k candidates/query)."""
+    per_query = 27 * grid.cell_cap
+    cap = max(128, (1 << 22) // per_query)
+    return int(min(chunk, cap))
+
+
 def _estimate_chunk(grid, point, normal, exact_bounce, cos_theta, kd, ks,
                     shin, estimate_size, estimate_dist, filter_type, cfg):
     """EstimateRadiance (photon_utils.cpp:72-162) for one query chunk."""
@@ -207,6 +216,7 @@ def estimate_radiance(grid: PhotonGrid, point, normal, exact_bounce,
                       cos_theta, kd, ks, shin, estimate_size, estimate_dist,
                       filter_type, cfg, chunk: int = 2048):
     """Chunked EstimateRadiance over a query batch (bounded gather memory)."""
+    chunk = _auto_chunk(grid, chunk)
     B = point.shape[0]
     if B <= chunk:
         return _estimate_chunk(grid, point, normal, exact_bounce, cos_theta,
@@ -233,6 +243,7 @@ def estimate_cached_radiance(grid: PhotonGrid, point, normal, exact_bounce,
     """EstimateCachedRadiance (photon_utils.cpp:165-205): nearest photon on
     the correct normal side within the cap; its (irradiance) value weighted
     by the Phong BRDF."""
+    chunk = _auto_chunk(grid, chunk)
     B = point.shape[0]
     if B > chunk:
         pad = (-B) % chunk
@@ -277,6 +288,7 @@ def estimate_irradiance(grid: PhotonGrid, point, estimate_size,
                         estimate_dist, chunk: int = 2048):
     """EstimateIrradiance (photon_utils.cpp:209-246): plain flux/area disk
     estimate (no BRDF, no normal cull) — used to precompute the cache."""
+    chunk = _auto_chunk(grid, chunk)
     B = point.shape[0]
     if B > chunk:
         pad = (-B) % chunk
