@@ -306,9 +306,13 @@ def _scene_bbox(scene: Scene):
 
 
 def trace_photon_map(scene: Scene, cfg: RenderConfig, key, map_type: int,
-                     verbose: bool = False):
+                     verbose: bool = False, mesh=None):
     """Host-side emission-cycle loop (photonmap.cpp:163-198): emit rounds
     until the storage goal is met, then normalize powers and build the grid.
+
+    With `mesh`, every round is traced on all mesh devices at once
+    (parallel/photon.py, SURVEY.md §2.3 P2/P3): per-device buffers are
+    compacted on host and the summed counts drive the quota loop.
 
     Returns (PhotonGrid | None, stats dict).
     """
@@ -331,6 +335,8 @@ def trace_photon_map(scene: Scene, cfg: RenderConfig, key, map_type: int,
     R = sum(counts)
     cap = 8 * R
 
+    n_dev = int(mesh.devices.size) if mesh is not None else 1
+
     pos_l, pow_l, dir_l = [], [], []
     stored = 0
     emitted = 0
@@ -338,16 +344,27 @@ def trace_photon_map(scene: Scene, cfg: RenderConfig, key, map_type: int,
     t0 = time.time()
     while stored < goal and attempts > 0:
         key, sub = jax.random.split(key)
-        bp, bw, bd, cnt = emit_round(scene, cfg, sub, counts, map_type, cap)
-        n = int(cnt)
-        n = min(n, cap)
-        emitted += R
-        if n > 0:
-            pos_l.append(np.asarray(bp[:n]))
-            pow_l.append(np.asarray(bw[:n]))
-            dir_l.append(np.asarray(bd[:n]))
-            stored += n
+        if mesh is None:
+            bp, bw, bd, cnt = emit_round(scene, cfg, sub, counts, map_type,
+                                         cap)
+            per_dev = [min(int(cnt), cap)]
         else:
+            from ..parallel.photon import emit_round_sharded
+            bp, bw, bd, cnts = emit_round_sharded(scene, cfg, sub, counts,
+                                                  map_type, cap, mesh)
+            per_dev = [min(int(c), cap) for c in np.asarray(cnts)]
+        emitted += R * n_dev
+        round_stored = 0
+        bp_h, bw_h, bd_h = np.asarray(bp), np.asarray(bw), np.asarray(bd)
+        for i, n in enumerate(per_dev):
+            if n > 0:
+                lo_i = i * cap
+                pos_l.append(bp_h[lo_i:lo_i + n])
+                pow_l.append(bw_h[lo_i:lo_i + n])
+                dir_l.append(bd_h[lo_i:lo_i + n])
+                round_stored += n
+        stored += round_stored
+        if round_stored == 0:
             attempts -= 1
     elapsed = time.time() - t0
 
@@ -378,12 +395,13 @@ def trace_photon_map(scene: Scene, cfg: RenderConfig, key, map_type: int,
 
 
 def build_photon_maps(scene: Scene, cfg: RenderConfig, key,
-                      verbose: bool = False):
+                      verbose: bool = False, mesh=None):
     """MapPhotons equivalent (photonmap.cpp:260-436).
 
     Returns (PhotonMaps | None, adjusted_cfg): layers whose maps came out
     empty are disabled in the returned config, mirroring the reference's
-    fallbacks (photonmap.cpp:347-361).
+    fallbacks (photonmap.cpp:347-361).  Pass a `jax.sharding.Mesh` to trace
+    each emission round on every device at once (SURVEY.md §2.3 P2/P3).
     """
     need_global = cfg.indirect_illum or cfg.direct_photon_illum
     need_caustic = cfg.caustic_illum
@@ -395,14 +413,15 @@ def build_photon_maps(scene: Scene, cfg: RenderConfig, key,
     caustic_grid = None
     stats = {}
     if need_global:
-        global_grid, s = trace_photon_map(scene, cfg, k1, MAP_GLOBAL, verbose)
+        global_grid, s = trace_photon_map(scene, cfg, k1, MAP_GLOBAL, verbose,
+                                          mesh=mesh)
         stats["global"] = s
         if global_grid is None:
             cfg = cfg.replace(indirect_illum=False,
                               direct_photon_illum=False)
     if need_caustic:
         caustic_grid, s = trace_photon_map(scene, cfg, k2, MAP_CAUSTIC,
-                                           verbose)
+                                           verbose, mesh=mesh)
         stats["caustic"] = s
         if caustic_grid is None:
             cfg = cfg.replace(caustic_illum=False)
