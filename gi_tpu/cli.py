@@ -23,6 +23,22 @@ def main(argv=None):
     scene_name, image_name, cfg = parse_args(
         sys.argv[1:] if argv is None else argv)
 
+    # -pallas flag drives the intersection fast-path policy (task: every
+    # parsed flag observably changes behavior).
+    from .ops.intersect import set_pallas_mode
+    set_pallas_mode(cfg.use_pallas)
+
+    # Device mesh (P1): the reference's `-threads` pixel-loop fan-out
+    # (render.cpp:188-199, io_utils.cpp:26-29) becomes a 1-D device mesh;
+    # default is every local device, `-threads N` caps it.
+    from .parallel.mesh import device_mesh
+    n_local = len(jax.devices())
+    n_dev = n_local if cfg.threads == 0 else min(cfg.threads, n_local)
+    mesh = device_mesh(n_dev) if n_dev > 1 else None
+    if cfg.verbose and mesh is not None:
+        print(f"Using {n_dev} devices "
+              f"({jax.devices()[0].platform}) ...")
+
     t0 = time.time()
     scene = load_scene(scene_name, real_material=cfg.real_material)
     if cfg.verbose:
@@ -52,7 +68,7 @@ def main(argv=None):
         if cfg.verbose:
             print("Building photon maps ...")
         maps, cfg = build_photon_maps(scene, cfg, k_maps,
-                                      verbose=cfg.verbose)
+                                      verbose=cfg.verbose, mesh=mesh)
         if cfg.verbose:
             print(f"  Total Time = {time.time() - t1:.2f} seconds")
 
@@ -78,7 +94,7 @@ def main(argv=None):
     if cfg.trace_dir:
         jax.profiler.start_trace(cfg.trace_dir)
     img = render_image(scene, cfg, photon_maps=maps, progress=progress,
-                       stats=stats)
+                       stats=stats, mesh=mesh)
     if cfg.trace_dir:
         jax.profiler.stop_trace()
         if cfg.verbose:

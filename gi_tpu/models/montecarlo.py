@@ -218,28 +218,28 @@ def mc_walk(scene: Scene, cfg: RenderConfig, key, o, d, weight, phase, alive,
         die = die | d_ind
 
         # ---- transmissive branch ---------------------------------------
+        # Runs even with transmissive_illum off: phase0 requires
+        # TRANSMISSIVE_ILLUM (montecarlo.cpp:123) but phase1 (IndirectSample)
+        # has no such check (montecarlo.cpp:261).
         t_act = take_t & live
-        if cfg.transmissive_illum or True:
-            # phase0 requires TRANSMISSIVE_ILLUM (montecarlo.cpp:123);
-            # phase1 (IndirectSample) has no such check (montecarlo.cpp:261)
-            allowed = (jnp.asarray(cfg.transmissive_illum)
-                       | (s.phase == PHASE_INDIRECT))
-            t_go = t_act & allowed
-            exact_t = S.transmissive_bounce(hit.normal, view, cos_theta, ir,
-                                            cfg.ir_air)
-            if cfg.distrib_transmissive:
-                u_s = jax.random.uniform(k_spec, (B, 2))
-                sampled_t = S.specular_importance_sample(
-                    exact_t, shin, cos_theta, u_s[:, 0], u_s[:, 1])
-            else:
-                sampled_t = exact_t
-            safe_pt = jnp.maximum(prob_t, 1e-12)
-            new_d = jnp.where(t_go[:, None], sampled_t, new_d)
-            new_weight = jnp.where(
-                t_go[:, None],
-                new_weight * (1.0 - r_coeff[:, None]) * kt / safe_pt[:, None],
-                new_weight)
-            die = die | (t_act & ~allowed)
+        allowed = (jnp.asarray(cfg.transmissive_illum)
+                   | (s.phase == PHASE_INDIRECT))
+        t_go = t_act & allowed
+        exact_t = S.transmissive_bounce(hit.normal, view, cos_theta, ir,
+                                        cfg.ir_air)
+        if cfg.distrib_transmissive:
+            u_s = jax.random.uniform(k_spec, (B, 2))
+            sampled_t = S.specular_importance_sample(
+                exact_t, shin, cos_theta, u_s[:, 0], u_s[:, 1])
+        else:
+            sampled_t = exact_t
+        safe_pt = jnp.maximum(prob_t, 1e-12)
+        new_d = jnp.where(t_go[:, None], sampled_t, new_d)
+        new_weight = jnp.where(
+            t_go[:, None],
+            new_weight * (1.0 - r_coeff[:, None]) * kt / safe_pt[:, None],
+            new_weight)
+        die = die | (t_act & ~allowed)
 
         # ---- specular branch -------------------------------------------
         s_act = take_s & live

@@ -92,13 +92,27 @@ def render_tile(scene: Scene, cfg: RenderConfig, key, pixel_idx: jnp.ndarray,
 
 
 def render_image(scene: Scene, cfg: RenderConfig, photon_maps=None,
-                 progress=None, stats=None) -> np.ndarray:
+                 progress=None, stats=None, mesh=None) -> np.ndarray:
     """Render the full image; returns [H,W,3] float (row 0 = bottom).
-    Pass a utils.stats.RenderStats as `stats` to collect ray counters."""
+    Pass a utils.stats.RenderStats as `stats` to collect ray counters.
+
+    With `mesh` (a jax.sharding.Mesh) each tile's pixel batch is sharded
+    over the mesh 'rays' axis (P1, SURVEY §2.3 — the TPU-native form of the
+    reference's threaded pixel loop, render.cpp:188-199) and the per-device
+    ray counters come back psum'd (P4)."""
     aa_factor = 2 ** cfg.aa
     sw, sh = cfg.width * aa_factor, cfg.height * aa_factor
     total = sw * sh
     tile = min(cfg.ray_tile, total)
+    n_dev = 1
+    if mesh is not None:
+        n_dev = int(np.prod(mesh.devices.shape))
+        if n_dev <= 1:
+            mesh = None
+        else:
+            tile += (-tile) % n_dev  # sharded batch must divide evenly
+    if mesh is not None:
+        from ..parallel.mesh import render_tile_sharded
 
     key = jax.random.PRNGKey(cfg.seed)
     fb = np.zeros((total, 3), np.float32)
@@ -108,8 +122,13 @@ def render_image(scene: Scene, cfg: RenderConfig, photon_maps=None,
         start = t * tile
         idx = (start + jnp.arange(tile, dtype=jnp.int32)) % total
         key, sub = jax.random.split(key)
-        out = render_tile(scene, cfg, sub, idx, sw, sh, photon_maps,
-                          with_stats=stats is not None)
+        if mesh is not None:
+            out = render_tile_sharded(scene, cfg, sub, idx, sw, sh, mesh,
+                                      photon_maps,
+                                      with_stats=stats is not None)
+        else:
+            out = render_tile(scene, cfg, sub, idx, sw, sh, photon_maps,
+                              with_stats=stats is not None)
         if stats is not None:
             out, counters = out
             stats.add(np.asarray(counters))

@@ -57,19 +57,28 @@ def device_mesh(n_devices: int | None = None, platform: str | None = None
 
 def render_tile_sharded(scene: Scene, cfg: RenderConfig, key,
                         pixel_idx: jnp.ndarray, width: int, height: int,
-                        mesh: Mesh, photon_maps=None) -> jnp.ndarray:
+                        mesh: Mesh, photon_maps=None,
+                        with_stats: bool = False):
     """Render a pixel batch sharded over the mesh 'rays' axis.
 
     pixel_idx length must be divisible by the mesh size; the scene (and
-    photon maps) are replicated, colors come back sharded.
+    photon maps) are replicated, colors come back sharded.  With
+    `with_stats`, per-device ray counters are psum'd over the mesh (P4,
+    SURVEY §2.3) and returned replicated: (colors, counters).
     """
     def body(scene_, key_, idx_, maps_):
         k = jax.random.fold_in(key_, jax.lax.axis_index(AXIS))
-        return render_tile(scene_, cfg, k, idx_, width, height, maps_)
+        out = render_tile(scene_, cfg, k, idx_, width, height, maps_,
+                          with_stats=with_stats)
+        if not with_stats:
+            return out
+        color, counters = out
+        return color, jax.lax.psum(counters, AXIS)
 
     f = shard_map(body, mesh=mesh,
                   in_specs=(P(), P(), P(AXIS), P()),
-                  out_specs=P(AXIS), check_rep=False)
+                  out_specs=(P(AXIS), P()) if with_stats else P(AXIS),
+                  check_rep=False)
     return f(scene, key, pixel_idx, photon_maps)
 
 

@@ -23,7 +23,8 @@ _FILTER_NAMES = {"disk": DISK, "cone": CONE, "gauss": GAUSS}
 class RenderConfig:
     # Misc (io_utils.cpp:24-42)
     verbose: bool = False
-    threads: int = 1                  # reference thread count; here: device count hint
+    threads: int = 0                  # device-mesh size cap; 0 = all local devices
+                                      # (reference thread count, io_utils.cpp:26-29)
     fresnel: bool = True
     ir_air: float = 1.0
 
@@ -228,7 +229,10 @@ def parse_args(argv: list[str]) -> tuple[str, str | None, RenderConfig]:
         elif arg == "-tile":
             cfg["ray_tile"] = max(256, geti(it))
         elif arg == "-pallas":
-            cfg["use_pallas"] = next(it)
+            v = next(it)
+            if v not in ("auto", "always", "never", "interpret"):
+                raise SystemExit(f"Invalid -pallas mode: {v}")
+            cfg["use_pallas"] = v
         elif arg == "-save_maps":
             cfg["save_maps"] = next(it)
         elif arg == "-load_maps":

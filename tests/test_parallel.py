@@ -109,6 +109,54 @@ def test_trace_photon_map_sharded_end_to_end(cornell_scene):
     assert np.all(pos >= lo - 1e-3) and np.all(pos <= hi + 1e-3)
 
 
+def test_render_tile_sharded_stats_psum(cornell_scene):
+    """P4: sharded render returns psum'd counters equal to the single-device
+    counters for the same pixel batch (deterministic categories)."""
+    from gi_tpu.models.render import render_tile
+    from gi_tpu.utils import stats as ST
+    mesh = device_mesh(8, platform="cpu")
+    cfg = _cfg(indirect_illum=False, caustic_illum=False, monte_carlo=False)
+    idx = jnp.arange(256, dtype=jnp.int32)
+    key = jax.random.PRNGKey(0)
+    _, counters = render_tile_sharded(cornell_scene, cfg, key, idx, 16, 16,
+                                      mesh, with_stats=True)
+    counters = np.asarray(counters)
+    _, single = render_tile(cornell_scene, cfg, key, idx, 16, 16, None,
+                            with_stats=True)
+    single = np.asarray(single)
+    # screen/shadow counts are deterministic functions of the hit geometry
+    assert counters[ST.SCREEN] == single[ST.SCREEN] == 256
+    assert counters[ST.SHADOW] == single[ST.SHADOW] > 0
+
+
+def test_render_image_sharded_matches_single(cornell_scene):
+    """The product path: render_image(mesh=...) equals the single-device
+    render on a deterministic (hard-shadow, no-MC) config, and stats work."""
+    from gi_tpu.models.render import render_image
+    from gi_tpu.utils.stats import RenderStats
+    cfg = _cfg(indirect_illum=False, caustic_illum=False, monte_carlo=False,
+               soft_shadows=False, width=8, height=8, ray_tile=256)
+    img1 = render_image(cornell_scene, cfg)
+    mesh = device_mesh(8, platform="cpu")
+    stats = RenderStats()
+    img8 = render_image(cornell_scene, cfg, stats=stats, mesh=mesh)
+    np.testing.assert_allclose(img8, img1, atol=1e-5)
+    assert stats.counts[0] == 8 * 8  # screen rays
+    assert stats.total > 64
+
+
+def test_cli_renders_on_mesh(cornell_scene, tmp_path):
+    """End-to-end CLI over the 8-device CPU mesh: `-threads` caps the mesh,
+    `-v` stats work sharded (VERDICT item 1 done-condition)."""
+    from gi_tpu.cli import main
+    out = tmp_path / "cornell_mesh.png"
+    rc = main(["/root/reference/input/cornell.scn", str(out), "-v",
+               "-resolution", "16", "16", "-aa", "0", "-no_indirect",
+               "-no_caustic", "-no_monte", "-lt", "2", "-ss", "2",
+               "-threads", "8", "-tile", "256"])
+    assert rc == 0 and out.exists()
+
+
 def test_build_photon_maps_sharded_render(cornell_scene):
     """Full pipeline with a sharded map build: the rendered caustic/indirect
     layers consume the merged grid without shape errors."""
