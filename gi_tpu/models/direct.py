@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import sampling as S
-from ..ops.intersect import Hit, intersect_scene
+from ..ops.intersect import Hit, intersect_scene, occluded
 from ..scene.types import (LIGHT_AREA, LIGHT_DIR, LIGHT_POINT, LIGHT_RECT,
                            LIGHT_SPOT, Scene)
 from ..utils.config import RenderConfig
@@ -31,12 +31,26 @@ RN_EPS = 1e-4  # world-space offset scale (reference uses RN_EPSILON=1e-6 in f64
 def shadow_visible(scene: Scene, p_light: jnp.ndarray, p_surf: jnp.ndarray,
                    ray_count=None) -> jnp.ndarray:
     """RayIlluminationTest (illumination_utils.cpp:16-31): trace from the
-    light sample to the surface point; visible iff nothing closer."""
+    light sample to the surface point; visible iff nothing closer.  Uses the
+    any-hit fast path (ops.intersect.occluded) instead of the reference's
+    full closest-hit traversal — same predicate, no argmin/normal work."""
     delta = p_surf - p_light
     dist = jnp.sqrt(jnp.sum(delta * delta, axis=-1) + 1e-30)
     d = delta / dist[..., None]
-    t = intersect_scene(scene, p_light, d, t_min=(1e-3 * dist)[:, None]).t
-    return t >= dist * (1.0 - 1e-3)
+    return ~occluded(scene, p_light, d, t_max=dist * (1.0 - 1e-3),
+                     t_min=(1e-3 * dist)[:, None])
+
+
+def shadow_visibility(scene: Scene, cfg: RenderConfig, p_light, p_surf
+                      ) -> jnp.ndarray:
+    """Visibility as float [0,1]: the hard reference test, or — in
+    differentiable mode with cfg.vis_softness > 0 — the smooth relaxation
+    (ops.intersect.soft_visibility) so shadow-dependent losses have nonzero,
+    FD-matching gradients w.r.t. light/scene parameters."""
+    if cfg.differentiable and cfg.vis_softness > 0:
+        from ..ops.intersect import soft_visibility
+        return soft_visibility(scene, p_light, p_surf, cfg.vis_softness)
+    return shadow_visible(scene, p_light, p_surf).astype(jnp.float32)
 
 
 def _attenuated_intensity(lt, i, point):
@@ -145,13 +159,15 @@ def _reflection_2d_nosadow(scene, i, kind, key, kd, ks, shin, is_d, is_s,
     return jnp.where(facing[:, None], out, 0.0)
 
 
-def _soft_2d_light(scene, i, kind, key, kd, ks, shin, is_d, is_s, eye,
+def _soft_2d_light(scene, cfg, i, kind, key, kd, ks, shin, is_d, is_s, eye,
                    point, normal, ns, n_extra):
     """ComputeArea/RectLightReflection (illumination_utils.cpp:91-417):
     occlusion-tested Phong sampling + extra shadow-only samples.
 
     Returns (contribution [B,3], ratio [B]) where ratio = hits/samples is the
-    reference's trailing accumulator rescale."""
+    reference's trailing accumulator rescale.  Visibility is a float in
+    [0,1]: exactly 0/1 in the hard (reference) mode, smooth in
+    differentiable soft-visibility mode."""
     lt = scene.lights
     B = point.shape[0]
     norm = lt.direction[i]
@@ -163,9 +179,9 @@ def _soft_2d_light(scene, i, kind, key, kd, ks, shin, is_d, is_s, eye,
     def draw_samples(k, nsamp):
         u = jax.random.uniform(k, (B, nsamp, 2))
         sp = _sample_on_light(scene, i, kind, u[..., 0], u[..., 1])
-        vis = shadow_visible(scene, sp.reshape(-1, 3),
-                             jnp.broadcast_to(point[:, None], sp.shape)
-                             .reshape(-1, 3)).reshape(B, nsamp)
+        vis = shadow_visibility(scene, cfg, sp.reshape(-1, 3),
+                                jnp.broadcast_to(point[:, None], sp.shape)
+                                .reshape(-1, 3)).reshape(B, nsamp)
         return sp, vis
 
     def intensity(sp):
@@ -184,9 +200,9 @@ def _soft_2d_light(scene, i, kind, key, kd, ks, shin, is_d, is_s, eye,
     sp, vis_d = draw_samples(k1, ns)
     I, L = intensity(sp)
     NL = S.dot(normal[:, None], L)
-    w_d = jnp.sum(jnp.where(vis_d, I * jnp.abs(NL), 0.0), axis=1)
-    hits_d = jnp.sum(vis_d, axis=1).astype(jnp.float32)
-    diff = jnp.where(hits_d > 0, w_d / jnp.maximum(hits_d, 1.0), 0.0)[
+    w_d = jnp.sum(vis_d * I * jnp.abs(NL), axis=1)
+    hits_d = jnp.sum(vis_d, axis=1)
+    diff = jnp.where(hits_d > 0, w_d / jnp.maximum(hits_d, 1e-12), 0.0)[
         :, None] * kd * Ic * area
 
     # Specular loop (2*ns samples)
@@ -196,15 +212,15 @@ def _soft_2d_light(scene, i, kind, key, kd, ks, shin, is_d, is_s, eye,
     R = 2.0 * NL[..., None] * normal[:, None] - L
     VR = S.dot(V[:, None], R)
     w = jnp.where(VR > 0, I * jnp.power(jnp.maximum(VR, 1e-30), shin[:, None]), 0.0)
-    w_s = jnp.sum(jnp.where(vis_s, w, 0.0), axis=1)
-    hits_s = jnp.sum(vis_s, axis=1).astype(jnp.float32)
-    spec = jnp.where(hits_s > 0, w_s / jnp.maximum(hits_s, 1.0), 0.0)[
+    w_s = jnp.sum(vis_s * w, axis=1)
+    hits_s = jnp.sum(vis_s, axis=1)
+    spec = jnp.where(hits_s > 0, w_s / jnp.maximum(hits_s, 1e-12), 0.0)[
         :, None] * ks * Ic * area
 
     # Extra shadow-only samples
     if n_extra > 0:
         _, vis_e = draw_samples(k3, n_extra)
-        hits_e = jnp.sum(vis_e, axis=1).astype(jnp.float32)
+        hits_e = jnp.sum(vis_e, axis=1)
     else:
         hits_e = jnp.zeros((B,))
 
@@ -282,8 +298,8 @@ def shade_direct(scene: Scene, cfg: RenderConfig, key, hit: Hit,
         # ---------------- soft-shadow 2D lights ------------------------
         if kind in (LIGHT_AREA, LIGHT_RECT) and cfg.soft_shadows:
             contrib, ratio = _soft_2d_light(
-                scene, i, kind, sub, kd, ks, shin, is_d, is_s, eye, point,
-                normal, ns, n_extra)
+                scene, cfg, i, kind, sub, kd, ks, shin, is_d, is_s, eye,
+                point, normal, ns, n_extra)
             new_acc = (acc + contrib) * ratio[:, None]
             acc = jnp.where(light_active[:, None], new_acc, acc)
             continue
@@ -299,7 +315,7 @@ def shade_direct(scene: Scene, cfg: RenderConfig, key, hit: Hit,
 
         nd = S.dot(normal, pl - point)
         side_ok = ~(((nd > 0) & (cos_theta < 0)) | ((nd < 0) & (cos_theta > 0)))
-        vis = shadow_visible(scene, pl, point)
+        vis = shadow_visibility(scene, cfg, pl, point)
         if kind in (LIGHT_AREA, LIGHT_RECT):
             contrib = _reflection_2d_nosadow(
                 scene, i, kind, sub, kd, ks, shin, is_d, is_s, eye, point,
@@ -307,8 +323,8 @@ def shade_direct(scene: Scene, cfg: RenderConfig, key, hit: Hit,
         else:
             contrib = _simple_reflection(scene, i, kind, kd, ks, shin, is_d,
                                          is_s, eye, point, normal)
-        acc = acc + jnp.where((light_active & side_ok & vis)[:, None],
-                              contrib, 0.0)
+        acc = acc + jnp.where((light_active & side_ok)[:, None],
+                              contrib * vis[:, None], 0.0)
 
     # Emission (raytracer.cpp:41-43) — only when shading ran at all
     acc = acc + jnp.where((active & should_emit)[:, None], emission, 0.0)

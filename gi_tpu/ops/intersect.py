@@ -389,3 +389,186 @@ def intersection_dist(scene: Scene, o: jnp.ndarray, d: jnp.ndarray,
     """Distance to nearest hit (inf on miss) — reference `IntersectionDist`
     (graphics_utils.cpp:84-92), used by shadow-ray occlusion tests."""
     return intersect_scene(scene, o, d, t_min=t_min).t
+
+
+def _tri_occluded(o, d, tris, t_min, t_max, chunk=2048):
+    """Any-hit over the triangle soup (jnp path): early-exit lax.while_loop
+    over Morton-ordered chunks — stops at the first chunk that occludes
+    every still-open ray, the SIMD analogue of the reference's per-ray
+    early-out the linear scan lacks (R3Isect.cpp:800-833)."""
+    N = tris.v0.shape[0]
+    B = o.shape[0]
+    if N == 0:
+        return jnp.zeros((B,), bool)
+    if _use_pallas(N):
+        from .pallas_intersect import tri_occluded_pallas
+        return tri_occluded_pallas(o, d, tris.v0, tris.e1, tris.e2, t_min,
+                                   t_max,
+                                   interpret=(_PALLAS_MODE == "interpret"))
+    if N <= chunk:
+        t_all = _tri_t(o, d, tris.v0, tris.e1, tris.e2, t_min)
+        return jnp.any(t_all < t_max[:, None], axis=1)
+    pad = (-N) % chunk
+    v0 = jnp.pad(tris.v0, ((0, pad), (0, 0)))
+    e1 = jnp.pad(tris.e1, ((0, pad), (0, 0)))
+    e2 = jnp.pad(tris.e2, ((0, pad), (0, 0)))
+    n_chunks = (N + pad) // chunk
+    v0 = v0.reshape(n_chunks, chunk, 3)
+    e1 = e1.reshape(n_chunks, chunk, 3)
+    e2 = e2.reshape(n_chunks, chunk, 3)
+
+    def cond(carry):
+        i, occ = carry
+        return (i < n_chunks) & ~jnp.all(occ)
+
+    def body(carry):
+        i, occ = carry
+        t_all = _tri_t(o, d, v0[i], e1[i], e2[i], t_min)
+        return i + 1, occ | jnp.any(t_all < t_max[:, None], axis=1)
+
+    _, occ = jax.lax.while_loop(cond, body, (jnp.asarray(0),
+                                             jnp.zeros((B,), bool)))
+    return occ
+
+
+def occluded(scene: Scene, o: jnp.ndarray, d: jnp.ndarray,
+             t_max: jnp.ndarray, t_min=0.0) -> jnp.ndarray:
+    """Any-hit query: does any primitive intersect ray (o, d) strictly
+    inside (t_min, t_max)?  The shadow-ray fast path (SURVEY §7.2 `any_hit`):
+    no argmin, no normals, early chunk exit — unlike the reference, whose
+    shadow rays pay the full closest-hit traversal
+    (RayIlluminationTest, illumination_utils.cpp:16-31).
+
+    Non-differentiable by construction (a set-membership bit; the jnp path
+    is a lax.while_loop): inputs are detached.  Smooth shadow gradients
+    come from soft_visibility instead."""
+    o = jax.lax.stop_gradient(o)
+    d = jax.lax.stop_gradient(d)
+    t_max = jax.lax.stop_gradient(t_max)
+    t_min = jax.lax.stop_gradient(t_min)
+    B = o.shape[0]
+    t_max = jnp.broadcast_to(jnp.asarray(t_max), (B,))
+    occ = jnp.zeros((B,), bool)
+    if scene.tris.v0.shape[0] > 0:
+        occ = occ | _tri_occluded(o, d, scene.tris, t_min, t_max)
+    if scene.spheres.center.shape[0] > 0:
+        t = _sphere_t(o, d, scene.spheres.center, scene.spheres.radius,
+                      t_min)
+        occ = occ | jnp.any(t < t_max[:, None], axis=1)
+    if scene.boxes.lo.shape[0] > 0:
+        t = _box_t(o, d, scene.boxes.lo, scene.boxes.hi, t_min)
+        occ = occ | jnp.any(t < t_max[:, None], axis=1)
+    if scene.cylinders.p0.shape[0] > 0:
+        t, _ = _cylinder_t(o, d, scene.cylinders.p0, scene.cylinders.p1,
+                           scene.cylinders.radius, t_min)
+        occ = occ | jnp.any(t < t_max[:, None], axis=1)
+    if scene.cones.p0.shape[0] > 0:
+        t, _ = _cone_t(o, d, scene.cones.p0, scene.cones.p1,
+                       scene.cones.radius, t_min)
+        occ = occ | jnp.any(t < t_max[:, None], axis=1)
+    if scene.circles.center.shape[0] > 0:
+        t = _circle_t(o, d, scene.circles.center, scene.circles.normal,
+                      scene.circles.radius, t_min)
+        occ = occ | jnp.any(t < t_max[:, None], axis=1)
+    return occ
+
+
+# --------------------------------------------------------------------------
+# Soft (differentiable) visibility
+# --------------------------------------------------------------------------
+
+def soft_visibility(scene: Scene, p_light: jnp.ndarray, p_surf: jnp.ndarray,
+                    beta: float) -> jnp.ndarray:
+    """Differentiable shadow-ray visibility in [0, 1].
+
+    The reference's occlusion test (RayIlluminationTest,
+    illumination_utils.cpp:16-31) is a step function of scene/light
+    parameters, so shadow-dependent gradients are identically zero under AD
+    (SURVEY §7 hard parts: "visibility gradients").  Here each potential
+    occluder contributes a *smooth* blocking factor: a sigmoid of its lateral
+    margin — how far, transversally, the shadow ray passes from the occluder
+    boundary — with softness `beta` (relative units).  visibility is the
+    product of the per-primitive clear factors; as beta -> 0 it converges to
+    the hard test.  Gradients flow to anything that moves the ray (light
+    sample position, surface point) or the occluder boundary.
+
+    Smooth occluders: triangles (barycentric margin), spheres (signed
+    distance of closest approach), boxes (slab chord length).  Cylinders /
+    cones / circles fall back to a hard 0/1 factor (no boundary gradient).
+    The t-window test (occluder strictly between light and surface) is kept
+    hard so the receiving surface itself never "self-shadows" softly.
+    """
+    delta = p_surf - p_light
+    dist = jnp.sqrt(jnp.sum(delta * delta, axis=-1) + 1e-30)
+    d = delta / dist[..., None]
+    o = p_light
+    t_lo = 1e-3 * dist
+    t_hi = dist * (1.0 - 1e-3)
+    B = o.shape[0]
+    vis = jnp.ones((B,))
+    inv_beta = 1.0 / beta
+
+    def in_window(t):
+        return (t > t_lo[:, None]) & (t < t_hi[:, None])
+
+    if scene.tris.v0.shape[0] > 0:
+        tr = scene.tris
+        o_ = o[:, None, :]
+        d_ = d[:, None, :]
+        v0, e1, e2 = tr.v0[None], tr.e1[None], tr.e2[None]
+        pvec = jnp.cross(d_, e2)
+        det = _dot(e1, pvec)
+        live = jnp.abs(det) > _DET_EPS
+        inv_det = jnp.where(live, 1.0 / jnp.where(live, det, 1.0), 0.0)
+        tvec = o_ - v0
+        u = _dot(tvec, pvec) * inv_det
+        qvec = jnp.cross(tvec, e1)
+        v = _dot(d_, qvec) * inv_det
+        t = _dot(e2, qvec) * inv_det
+        margin = jnp.minimum(jnp.minimum(u, v), 1.0 - u - v)  # >0 inside
+        occ = jax.nn.sigmoid(margin * inv_beta)
+        occ = jnp.where(live & in_window(t), occ, 0.0)
+        vis = vis * jnp.prod(1.0 - occ, axis=1)
+
+    if scene.spheres.center.shape[0] > 0:
+        sp = scene.spheres
+        oc = sp.center[None] - o[:, None, :]          # [B,N,3]
+        tc = _dot(oc, d[:, None, :])                  # closest-approach param
+        q = o[:, None, :] + tc[..., None] * d[:, None, :] - sp.center[None]
+        s = (jnp.sqrt(_dot(q, q) + 1e-30)
+             - sp.radius[None]) / jnp.maximum(sp.radius[None], 1e-30)
+        occ = jax.nn.sigmoid(-s * inv_beta)
+        occ = jnp.where(in_window(tc), occ, 0.0)
+        vis = vis * jnp.prod(1.0 - occ, axis=1)
+
+    if scene.boxes.lo.shape[0] > 0:
+        bx = scene.boxes
+        o_ = o[:, None, :]
+        inv = 1.0 / jnp.where(jnp.abs(d) < 1e-30, 1e-30, d)[:, None, :]
+        t0 = (bx.lo[None] - o_) * inv
+        t1 = (bx.hi[None] - o_) * inv
+        tnear = jnp.max(jnp.minimum(t0, t1), axis=-1)
+        tfar = jnp.min(jnp.maximum(t0, t1), axis=-1)
+        margin = (tfar - tnear) / dist[:, None]       # >0 on hit (chord len)
+        occ = jax.nn.sigmoid(margin * inv_beta)
+        occ = jnp.where(in_window(tnear), occ, 0.0)
+        vis = vis * jnp.prod(1.0 - occ, axis=1)
+
+    # Hard fallbacks (no boundary gradients): cylinders, cones, circles.
+    for present, tfun in (
+        (scene.cylinders.p0.shape[0] > 0,
+         lambda: _cylinder_t(o, d, scene.cylinders.p0, scene.cylinders.p1,
+                             scene.cylinders.radius, t_lo[:, None])[0]),
+        (scene.cones.p0.shape[0] > 0,
+         lambda: _cone_t(o, d, scene.cones.p0, scene.cones.p1,
+                         scene.cones.radius, t_lo[:, None])[0]),
+        (scene.circles.center.shape[0] > 0,
+         lambda: _circle_t(o, d, scene.circles.center, scene.circles.normal,
+                           scene.circles.radius, t_lo[:, None])),
+    ):
+        if present:
+            t = jax.lax.stop_gradient(tfun())
+            blocked = jnp.any(t < t_hi[:, None], axis=1)
+            vis = vis * jnp.where(blocked, 0.0, 1.0)
+
+    return vis

@@ -83,12 +83,15 @@ def render_tile_sharded(scene: Scene, cfg: RenderConfig, key,
 
 
 def diff_params(scene: Scene):
-    """The differentiable parameter pytree: materials, light colors, camera
-    (BASELINE.json north star: gradients w.r.t. albedo/shininess, light
-    power, camera)."""
+    """The differentiable parameter pytree: materials, light color /
+    position / size, camera (BASELINE.json north star: gradients w.r.t.
+    albedo/shininess, light power, camera).  Light position/radius gradients
+    through shadows require soft visibility (cfg.vis_softness > 0)."""
     return {
         "materials": scene.materials,
         "light_color": scene.lights.color,
+        "light_position": scene.lights.position,
+        "light_radius": scene.lights.radius,
         "camera_eye": scene.camera.eye,
     }
 
@@ -96,7 +99,9 @@ def diff_params(scene: Scene):
 def apply_params(scene: Scene, params) -> Scene:
     return scene.replace(
         materials=params["materials"],
-        lights=scene.lights.replace(color=params["light_color"]),
+        lights=scene.lights.replace(color=params["light_color"],
+                                    position=params["light_position"],
+                                    radius=params["light_radius"]),
         camera=scene.camera.replace(eye=params["camera_eye"]),
     )
 

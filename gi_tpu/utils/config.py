@@ -91,6 +91,8 @@ class RenderConfig:
     seed: int = 0
     use_pallas: str = "auto"          # "auto" | "always" | "never"
     differentiable: bool = False      # fixed-trip scan walk (reverse-mode AD)
+    vis_softness: float = 0.0         # >0 + differentiable: smooth shadow
+                                      # visibility (ops.intersect.soft_visibility)
     save_maps: str | None = None      # checkpoint photon maps after build
     load_maps: str | None = None      # restore photon maps (skip tracing)
     trace_dir: str | None = None      # jax.profiler trace output directory
@@ -233,6 +235,9 @@ def parse_args(argv: list[str]) -> tuple[str, str | None, RenderConfig]:
             if v not in ("auto", "always", "never", "interpret"):
                 raise SystemExit(f"Invalid -pallas mode: {v}")
             cfg["use_pallas"] = v
+        elif arg == "-soft_vis":
+            cfg["differentiable"] = True
+            cfg["vis_softness"] = max(0.0, getf(it))
         elif arg == "-save_maps":
             cfg["save_maps"] = next(it)
         elif arg == "-load_maps":

@@ -233,3 +233,81 @@ def test_pallas_block_cull_multichunk():
     m = np.isfinite(tr)
     assert m.sum() > 50                  # the test actually exercises hits
     np.testing.assert_allclose(tp[m], tr[m], rtol=1e-4)
+
+
+def test_occluded_matches_closest_hit_predicate():
+    """Any-hit (occluded) must equal the closest-hit-derived occlusion
+    predicate over every primitive type."""
+    rng = np.random.default_rng(11)
+    s = _mini_scene(
+        tris_np=dict(v0=rng.uniform(-2, 2, (40, 3)),
+                     e1=rng.uniform(-1, 1, (40, 3)),
+                     e2=rng.uniform(-1, 1, (40, 3)),
+                     normal=np.tile([[0, 0, 1.0]], (40, 1)),
+                     mat=np.zeros(40)),
+        spheres_np=dict(center=rng.uniform(-2, 2, (6, 3)),
+                        radius=rng.uniform(0.2, 0.8, 6), mat=np.zeros(6)),
+        boxes_np=dict(lo=rng.uniform(-2, 0, (4, 3)),
+                      hi=rng.uniform(0, 2, (4, 3)), mat=np.zeros(4)),
+        cylinders_np=dict(p0=rng.uniform(-2, 2, (3, 3)),
+                          p1=rng.uniform(-2, 2, (3, 3)),
+                          radius=rng.uniform(0.2, 0.5, 3), mat=np.zeros(3)),
+        circles_np=dict(center=rng.uniform(-2, 2, (3, 3)),
+                        normal=np.tile([[0, 1.0, 0]], (3, 1)),
+                        radius=rng.uniform(0.3, 1.0, 3), mat=np.zeros(3)))
+    B = 256
+    o = jnp.asarray(rng.uniform(-4, 4, (B, 3)), jnp.float32)
+    d = rng.normal(size=(B, 3))
+    d = jnp.asarray(d / np.linalg.norm(d, axis=1, keepdims=True), jnp.float32)
+    t_max = jnp.asarray(rng.uniform(0.5, 8.0, B), jnp.float32)
+
+    occ = I.occluded(s, o, d, t_max=t_max, t_min=1e-3)
+    t = I.intersect_scene(s, o, d, t_min=1e-3).t
+    expect = np.asarray(t) < np.asarray(t_max)
+    np.testing.assert_array_equal(np.asarray(occ), expect)
+    assert expect.any() and not expect.all()
+
+
+def test_tri_occluded_pallas_interpret_matches_dense():
+    """Pallas any-hit kernel (interpret mode) vs the dense jnp predicate,
+    with padding-size B/N and per-ray t windows."""
+    from gi_tpu.ops.pallas_intersect import tri_occluded_pallas
+
+    rng = np.random.default_rng(12)
+    N = 1100
+    v0 = jnp.asarray(rng.uniform(-5, 5, (N, 3)), jnp.float32)
+    e1 = jnp.asarray(rng.uniform(-1, 1, (N, 3)), jnp.float32)
+    e2 = jnp.asarray(rng.uniform(-1, 1, (N, 3)), jnp.float32)
+    B = 70
+    o = jnp.asarray(rng.uniform(-6, 6, (B, 3)), jnp.float32)
+    d = rng.normal(size=(B, 3))
+    d = jnp.asarray(d / np.linalg.norm(d, axis=1, keepdims=True), jnp.float32)
+    t_lo = jnp.asarray(rng.uniform(0.0, 0.1, B), jnp.float32)
+    t_hi = jnp.asarray(rng.uniform(1.0, 15.0, B), jnp.float32)
+
+    occ = tri_occluded_pallas(o, d, v0, e1, e2, t_lo, t_hi, interpret=True)
+    t_all = I._tri_t(o, d, v0, e1, e2, t_lo[:, None])
+    expect = np.asarray(jnp.any(t_all < t_hi[:, None], axis=1))
+    np.testing.assert_array_equal(np.asarray(occ), expect)
+    assert expect.any() and not expect.all()
+
+
+def test_tri_occluded_chunked_while_loop():
+    """The chunked jnp any-hit (early-exit while_loop) must agree with the
+    dense predicate across chunk boundaries."""
+    rng = np.random.default_rng(13)
+    N = 5000  # > chunk=2048 -> exercises the while_loop path
+    tris = dict(v0=rng.uniform(-5, 5, (N, 3)), e1=rng.uniform(-1, 1, (N, 3)),
+                e2=rng.uniform(-1, 1, (N, 3)),
+                normal=np.tile([[0, 0, 1.0]], (N, 1)), mat=np.zeros(N))
+    s = _mini_scene(tris_np=tris)
+    B = 128
+    o = jnp.asarray(rng.uniform(-6, 6, (B, 3)), jnp.float32)
+    d = rng.normal(size=(B, 3))
+    d = jnp.asarray(d / np.linalg.norm(d, axis=1, keepdims=True), jnp.float32)
+    t_max = jnp.asarray(rng.uniform(0.5, 10.0, B), jnp.float32)
+
+    occ = I._tri_occluded(o, d, s.tris, 1e-3, t_max)
+    t_all = I._tri_t(o, d, s.tris.v0, s.tris.e1, s.tris.e2, 1e-3)
+    expect = np.asarray(jnp.any(t_all < t_max[:, None], axis=1))
+    np.testing.assert_array_equal(np.asarray(occ), expect)
