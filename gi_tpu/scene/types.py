@@ -173,19 +173,25 @@ def build_scene(
 ) -> Scene:
     """Assemble a Scene pytree from host-side numpy dicts (see scene/scn.py).
 
-    Triangles are Morton-reordered at compile time (native gi_morton_order)
-    so that consecutive chunks are spatially tight — the property the Pallas
-    block-culled intersection kernel prunes on. The reordering is invisible
-    to callers: Hit carries material/normal, not triangle ids."""
+    Triangles are reordered at compile time by binned-SAH BVH leaf traversal
+    (native gi_bvh_build; depth-first leaf order clusters triangles far
+    tighter than a raw Morton sort — ~2.3x smaller total chunk-bbox surface
+    area on the 86k-tri violinBody mesh) so that consecutive chunks are
+    spatially tight — the property the Pallas block-culled intersection
+    kernel prunes on.  The reordering is invisible to callers: Hit carries
+    material/normal, not triangle ids."""
     tv0 = _np(tris_np["v0"]).reshape(-1, 3)
     te1 = _np(tris_np["e1"]).reshape(-1, 3)
     te2 = _np(tris_np["e2"]).reshape(-1, 3)
     tnormal = _np(tris_np["normal"]).reshape(-1, 3)
     tmat = _np(tris_np["mat"], np.int32).reshape(-1)
     if tv0.shape[0] > 1:
-        from ..native import morton_order
-        centroid = tv0 + (te1 + te2) / 3.0
-        order = np.asarray(morton_order(centroid), np.int64)
+        from ..native import bvh_build
+        p1 = tv0 + te1
+        p2 = tv0 + te2
+        lo = np.minimum(np.minimum(tv0, p1), p2)
+        hi = np.maximum(np.maximum(tv0, p1), p2)
+        order = np.asarray(bvh_build(lo, hi, max_leaf=32).order, np.int64)
         tv0, te1, te2 = tv0[order], te1[order], te2[order]
         tnormal, tmat = tnormal[order], tmat[order]
     tris = Triangles(
