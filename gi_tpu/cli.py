@@ -14,6 +14,12 @@ import jax
 
 
 def main(argv=None):
+    # Multi-host runtime (P7): no-op unless GI_TPU_COORD/GI_TPU_NPROCS/
+    # GI_TPU_PID are set (one process per host; must run before any other
+    # JAX call touches the XLA backend).
+    from .parallel.dist import initialize as dist_initialize
+    dist_initialize()
+
     from .models.render import render_image
     from .photon.trace import build_photon_maps
     from .scene.scn import load_scene
