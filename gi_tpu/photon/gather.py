@@ -30,6 +30,13 @@ from flax import struct
 from ..ops import sampling as S
 
 
+# Chunk width of the Pallas gather kernel's photon-window DMAs.  `packed`
+# is padded in both dims for Mosaic's HBM tiling: 16 rows (sublane multiple
+# of 8) x columns rounded up to a 512 boundary plus one spare chunk, so a
+# WCH-aligned window start can never slice out of bounds.
+_PACK_CHUNK = 512
+
+
 @struct.dataclass
 class PhotonGrid:
     # static metadata
@@ -43,6 +50,10 @@ class PhotonGrid:
     dir_code: jnp.ndarray    # [N] int32 (uint16 range), incident direction
     valid: jnp.ndarray       # [N] bool
     cell_start: jnp.ndarray  # [ncells+1] int32
+    packed: jnp.ndarray      # [16, Npad] f32 rows 0-8 = pos xyz, flux rgb,
+                             # decoded incident xyz (rest zero padding) —
+                             # the Pallas gather kernel's DMA-friendly,
+                             # Mosaic-tiling-aligned SoA layout
 
     @property
     def n_cells(self) -> int:
@@ -88,11 +99,20 @@ def build_grid(pos: jnp.ndarray, power: jnp.ndarray, dir_code: jnp.ndarray,
         cid_sorted, jnp.arange(n_cells + 1, dtype=cid_sorted.dtype)
     ).astype(jnp.int32)
 
+    pos_s = pos[order]
+    power_s = power[order].astype(jnp.bfloat16)
+    code_s = dir_code[order].astype(jnp.int32)
+    packed = jnp.concatenate([
+        pos_s.T, power_s.astype(jnp.float32).T,
+        S.decode_direction(code_s).T], axis=0).astype(jnp.float32)
+    n = packed.shape[1]
+    pad_cols = (-n) % _PACK_CHUNK + _PACK_CHUNK
+    packed = jnp.pad(packed, ((0, 16 - packed.shape[0]), (0, pad_cols)))
     return PhotonGrid(
         dims=dims, cell_cap=int(cell_cap), origin=origin, inv_h=inv_h,
-        pos=pos[order], power=power[order].astype(jnp.bfloat16),
-        dir_code=dir_code[order].astype(jnp.int32), valid=valid[order],
-        cell_start=cell_start)
+        pos=pos_s, power=power_s,
+        dir_code=code_s, valid=valid[order],
+        cell_start=cell_start, packed=packed)
 
 
 def _candidates(grid: PhotonGrid, point: jnp.ndarray):
@@ -144,7 +164,8 @@ def _auto_chunk(grid: PhotonGrid, chunk: int) -> int:
 
 def _estimate_chunk(grid, point, normal, exact_bounce, cos_theta, kd, ks,
                     shin, estimate_size, estimate_dist, filter_type, cfg):
-    """EstimateRadiance (photon_utils.cpp:72-162) for one query chunk."""
+    """EstimateRadiance (photon_utils.cpp:72-162) for one query chunk via
+    the 27-cell grid window (fixed-capacity cell reads with decimation)."""
     K = int(estimate_size)
     idx, ok, scale = _candidates(grid, point)
     idx = jnp.clip(idx, 0, grid.pos.shape[0] - 1)
@@ -158,6 +179,61 @@ def _estimate_chunk(grid, point, normal, exact_bounce, cos_theta, kd, ks,
     k_eff = min(K, M)
     neg_top, top_i = jax.lax.top_k(-d2m, k_eff)  # [B,K]
     top_d2 = -neg_top
+    gidx = jnp.take_along_axis(idx, top_i, axis=1)
+    flux_scale = jnp.take_along_axis(scale, top_i, axis=1)
+    return _finish_estimate(grid, point, normal, exact_bounce, cos_theta,
+                            kd, ks, shin, K, estimate_dist, filter_type,
+                            cfg, top_d2, gidx, flux_scale)
+
+
+def _estimate_chunk_brute(grid, point, normal, exact_bounce, cos_theta, kd,
+                          ks, shin, estimate_size, estimate_dist,
+                          filter_type, cfg, photon_chunk: int = 8192):
+    """Exact EstimateRadiance for one query chunk: running top-K merge over
+    the FULL photon array (no cell cap, no decimation).  Used for maps small
+    enough to stream (the dense caustic-focus case where the grid path's
+    fixed-capacity cell reads would blur the K-th-neighbor radius)."""
+    K = int(estimate_size)
+    N = grid.pos.shape[0]
+    B = point.shape[0]
+    PC = photon_chunk if N > photon_chunk else max(
+        128, -(-N // 128) * 128)
+    pad = (-N) % PC
+    pos = jnp.pad(grid.pos, ((0, pad), (0, 0)), constant_values=jnp.inf)
+    valid = jnp.pad(grid.valid, (0, pad))
+    n_blk = (N + pad) // PC
+    k_eff = min(K, N)
+
+    def body(carry, blk):
+        top_d2, gidx = carry
+        pos_b, valid_b, base = blk
+        d2 = jnp.sum((pos_b[None] - point[:, None]) ** 2, axis=-1)
+        in_r = valid_b[None] & (d2 <= estimate_dist * estimate_dist)
+        d2m = jnp.where(in_r, d2, jnp.inf)
+        idx_b = base + jax.lax.broadcasted_iota(jnp.int32, (B, PC), 1)
+        cat_d2 = jnp.concatenate([top_d2, d2m], axis=1)
+        cat_ix = jnp.concatenate([gidx, idx_b], axis=1)
+        neg_top, sel = jax.lax.top_k(-cat_d2, k_eff)
+        return (-neg_top, jnp.take_along_axis(cat_ix, sel, axis=1)), None
+
+    init = (jnp.full((B, k_eff), jnp.inf),
+            jnp.zeros((B, k_eff), jnp.int32))
+    blocks = (pos.reshape(n_blk, PC, 3),
+              valid.reshape(n_blk, PC),
+              jnp.arange(n_blk, dtype=jnp.int32) * PC)
+    (top_d2, gidx), _ = jax.lax.scan(body, init, blocks)
+    gidx = jnp.clip(gidx, 0, N - 1)
+    return _finish_estimate(grid, point, normal, exact_bounce, cos_theta,
+                            kd, ks, shin, K, estimate_dist, filter_type,
+                            cfg, top_d2, gidx,
+                            jnp.ones_like(top_d2, jnp.float32))
+
+
+def _finish_estimate(grid, point, normal, exact_bounce, cos_theta, kd, ks,
+                     shin, K, estimate_dist, filter_type, cfg,
+                     top_d2, gidx, flux_scale):
+    """Shared tail of EstimateRadiance: normal-side cull, Phong weighting,
+    disk/cone/gauss filter normalization (photon_utils.cpp:109-161)."""
     found = jnp.isfinite(top_d2)
     num_nearby = jnp.sum(found, axis=1)
 
@@ -167,9 +243,8 @@ def _estimate_chunk(grid, point, normal, exact_bounce, cos_theta, kd, ks,
                        jnp.asarray(estimate_dist * estimate_dist),
                        jnp.maximum(max_d2_found, 1e-6))
 
-    gidx = jnp.take_along_axis(idx, top_i, axis=1)
     flux = grid.power[gidx].astype(jnp.float32)        # [B,K,3]
-    flux = flux * jnp.take_along_axis(scale, top_i, axis=1)[..., None]
+    flux = flux * flux_scale[..., None]
     code = grid.dir_code[gidx]
     incident = S.decode_direction(code)                # [B,K,3]
 
@@ -212,16 +287,49 @@ def _estimate_chunk(grid, point, normal, exact_bounce, cos_theta, kd, ks,
     return jnp.where((num_nearby > 0)[:, None], est, 0.0)
 
 
+def _use_pallas_gather(grid: PhotonGrid) -> bool:
+    """Pallas gather-kernel policy: same mode switch as the intersection
+    fast path (ops.intersect.set_pallas_mode / GI_TPU_PALLAS)."""
+    from ..ops import intersect as I
+    if I._PALLAS_MODE == "never":
+        return False
+    if I._PALLAS_MODE in ("always", "interpret"):
+        return True
+    return I._default_platform() == "tpu" and grid.pos.shape[0] >= 4096
+
+
+# Largest photon count for which the exact streaming-top-K path replaces
+# the decimated grid path in the jnp fallback.
+_BRUTE_MAX = 300_000
+
+
 def estimate_radiance(grid: PhotonGrid, point, normal, exact_bounce,
                       cos_theta, kd, ks, shin, estimate_size, estimate_dist,
                       filter_type, cfg, chunk: int = 2048):
-    """Chunked EstimateRadiance over a query batch (bounded gather memory)."""
-    chunk = _auto_chunk(grid, chunk)
+    """Chunked EstimateRadiance over a query batch (bounded gather memory).
+
+    Dispatch: the streamed Pallas kernel on TPU (exact kNN, no decimation);
+    otherwise an exact brute-force streaming top-K for maps up to
+    _BRUTE_MAX photons; otherwise the 27-cell grid path whose fixed-capacity
+    cell reads decimate over-full cells (docs/DESIGN.md)."""
+    if _use_pallas_gather(grid):
+        from ..ops import intersect as I
+        from .pallas_gather import estimate_radiance_pallas
+        return estimate_radiance_pallas(
+            grid, point, normal, exact_bounce, cos_theta, kd, ks, shin,
+            estimate_size, estimate_dist, filter_type, cfg,
+            interpret=(I._PALLAS_MODE == "interpret"))
+    if grid.pos.shape[0] <= _BRUTE_MAX:
+        chunk_fn = _estimate_chunk_brute
+        chunk = min(chunk, 512)
+    else:
+        chunk_fn = _estimate_chunk
+        chunk = _auto_chunk(grid, chunk)
     B = point.shape[0]
     if B <= chunk:
-        return _estimate_chunk(grid, point, normal, exact_bounce, cos_theta,
-                               kd, ks, shin, estimate_size, estimate_dist,
-                               filter_type, cfg)
+        return chunk_fn(grid, point, normal, exact_bounce, cos_theta,
+                        kd, ks, shin, estimate_size, estimate_dist,
+                        filter_type, cfg)
     pad = (-B) % chunk
     def padz(x):
         return jnp.pad(x, [(0, pad)] + [(0, 0)] * (x.ndim - 1))
@@ -230,8 +338,8 @@ def estimate_radiance(grid: PhotonGrid, point, normal, exact_bounce,
 
     def f(xs):
         pt, n, eb, ct, kd_, ks_, sh_ = xs
-        return _estimate_chunk(grid, pt, n, eb, ct, kd_, ks_, sh_,
-                               estimate_size, estimate_dist, filter_type, cfg)
+        return chunk_fn(grid, pt, n, eb, ct, kd_, ks_, sh_,
+                        estimate_size, estimate_dist, filter_type, cfg)
 
     out = jax.lax.map(f, tuple(args))
     return out.reshape(-1, 3)[:B]

@@ -1,0 +1,355 @@
+"""Pallas TPU kernel: photon-map radiance estimation over the sorted grid.
+
+TPU-native replacement for the reference's inner-inner loop — the kd-tree
+kNN gather + filtered flux sum (`EstimateRadiance`, photon_utils.cpp:72-162,
+`R3Kdtree::FindClosestQuick`, R3Kdtree.cpp:690-788; the reference's single
+biggest self-reported optimization, README.md:423-425).  The jnp fallback
+(photon/gather.py) materializes a [B, 27*cell_cap] candidate gather from HBM
+and runs a 12k-wide top_k per query at `-cs 225`; this kernel replaces both
+with streamed, sequential window scans:
+
+  1. Queries are sorted by grid cell (wrapper, one argsort) so a block of
+     QB=128 consecutive queries shares photon windows.  Because photons are
+     sorted by cell id (z fastest), each query's 27-cell neighborhood is 9
+     CONTIGUOUS photon ranges (one per (dx,dy), spanning the 3 z-cells).
+  2. Per (block, range): a shared superwindow [min start, max end) is DMA'd
+     from HBM chunk-by-chunk ([16, 512] f32: pos, flux, incident dir) and
+     every query in the block masks its own sub-intervals.  Windows have no
+     length cap, so over-full cells are read in full — the kernel is EXACT
+     kNN even in caustic hot spots where the jnp fallback's fixed-capacity
+     cell reads must decimate.
+  3. The K-th-neighbor radius is found WITHOUT a top-k: two cumulative
+     count passes (64 threshold edges each — plain masked reduces on the
+     VPU) narrow the K-th distance² to cap²/4096 resolution; a final pass
+     accumulates the BRDF- and filter-weighted flux below that threshold.
+
+Numerics match the jnp path except for photons whose distance² ties within
+one refinement bin (cap²/64³ ≈ 4 ppm) of the K-th neighbor — a thin shell
+that occasionally swaps one boundary photon of the K (≤1/K flux error, only
+in regions denser than K photons per bin width); when fewer than K photons
+are in range both paths compute the identical fixed-cap estimate.
+Validated against the jnp path in interpret mode (tests) and selected
+automatically on TPU (ops.intersect pallas-mode policy).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+QB = 128     # queries per block
+WCH = 512    # photons per window chunk (== gather._PACK_PAD)
+NB = 64      # threshold edges per refinement level (resolution cap^2/NB^2)
+
+DISK, CONE, GAUSS = 0, 1, 2
+
+
+def _gather_kernel(wlo_ref, wnch_ref,         # scalar prefetch [nb, 9] i32
+                   q_ref,                      # [QB, 16] f32 query pack
+                   se_ref,                     # [QB, 64] i32 starts/ends
+                   sc_ref,                     # [QB, 32] f32 decim scales
+                   ph_ref,                     # [9, Npad] f32 HBM photons
+                   est_ref,                    # out [QB, 4] f32
+                   buf, sem, cnt_ref, st_ref,
+                   *, K, cap2, filter_type, f_a, f_b, f_k):
+    """One query block.  q_ref columns: 0-2 pos, 3-5 normal, 6-8 bounce,
+    9 cos_theta, 10 shininess, 11-13 kd... kd/ks live in 10..16? — see
+    wrapper packing: [pos3, normal3, bounce3, cos1, shin1, kd3, ks3] = 17
+    padded to 24.  se_ref columns: 27 starts then 27 ends (padded to 64).
+    st_ref rows: working state, see _ST_* indices."""
+    i = pl.program_id(0)
+
+    qx = q_ref[:, 0:1]
+    qy = q_ref[:, 1:2]
+    qz = q_ref[:, 2:3]
+    nx_ = q_ref[:, 3:4]
+    ny_ = q_ref[:, 4:5]
+    nz_ = q_ref[:, 5:6]
+    bx = q_ref[:, 6:7]
+    by = q_ref[:, 7:8]
+    bz = q_ref[:, 8:9]
+    qcos = q_ref[:, 9:10]
+    shin = q_ref[:, 10:11]
+    kdr = q_ref[:, 11:12]
+    kdg = q_ref[:, 12:13]
+    kdb = q_ref[:, 13:14]
+    ksr = q_ref[:, 14:15]
+    ksg = q_ref[:, 15:16]
+    ksb = q_ref[:, 16:17]
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, WCH), 1)
+
+    def stream(chunk_fn):
+        """Run chunk_fn(d2, found, scale, buf) over every window chunk of
+        every one of the 9 ranges."""
+        for run in range(9):
+            w_lo = wlo_ref[i, run]
+            n_ch = wnch_ref[i, run]
+
+            def chunk_body(j, _):
+                start = pl.multiple_of(w_lo + j * WCH, WCH)
+                dma = pltpu.make_async_copy(
+                    ph_ref.at[:, pl.ds(start, WCH)], buf, sem)
+                dma.start()
+                dma.wait()
+                g = start + lane                       # global photon idx
+                px = buf[0:1, :]
+                py = buf[1:2, :]
+                pz = buf[2:3, :]
+                d2 = ((qx - px) ** 2 + (qy - py) ** 2 + (qz - pz) ** 2)
+                m = jnp.zeros((QB, WCH), jnp.bool_)
+                scale = jnp.zeros((QB, WCH), jnp.float32)
+                for z in range(3):
+                    col = run * 3 + z
+                    s = se_ref[:, col:col + 1]
+                    e = se_ref[:, 27 + col:28 + col]
+                    mz = (g >= s) & (g < e)
+                    m = m | mz
+                    scale = scale + jnp.where(
+                        mz, sc_ref[:, col:col + 1], 0.0)
+                found = m & (d2 <= cap2)
+                chunk_fn(d2, found, scale, buf)
+                return 0
+
+            jax.lax.fori_loop(0, n_ch, chunk_body, 0)
+
+    # ---- threshold refinement: K-th neighbor distance^2 ------------------
+    def hist_pass(lo, width):
+        cnt_ref[:] = jnp.zeros((QB, NB), jnp.float32)
+
+        def fn(d2, found, scale, buf):
+            fd2 = jnp.where(found, d2, 3.4e38)
+            for b in range(NB):
+                edge = lo + (b + 1.0) * width           # [QB,1]
+                cnt_ref[:, b:b + 1] += jnp.sum(
+                    (fd2 <= edge).astype(jnp.float32), axis=1,
+                    keepdims=True)
+
+        stream(fn)
+
+    kf = jnp.float32(K)
+    lo = jnp.zeros((QB, 1), jnp.float32)
+    width = jnp.full((QB, 1), cap2 / NB, jnp.float32)
+    total = None
+    for _level in range(3):                 # resolution: cap^2 / NB^3
+        hist_pass(lo, width)
+        cum = cnt_ref[:]                    # [QB, NB] cumulative counts
+        if total is None:
+            total = cum[:, NB - 1:NB]       # all in-range candidates
+        kb = jnp.sum((cum < kf).astype(jnp.float32), axis=1, keepdims=True)
+        kb = jnp.minimum(kb, jnp.float32(NB - 1))
+        lo = lo + kb * width
+        width = width / NB
+    tau = jnp.where(total <= kf, jnp.float32(cap2), lo + width * NB)
+
+    # ---- accumulate below tau -------------------------------------------
+    # st cols: 0-2 sum(contrib), 3-5 sum(contrib*d) [cone], 6 max d2,
+    # 7 included count, 8-10 sum(contrib*w) [gauss], 11 sum(w) [gauss]
+    st_ref[:] = jnp.zeros((QB, 16), jnp.float32)
+
+    def acc_pass(r2_for_gauss):
+        def fn(d2, found, scale, buf):
+            include = found & (d2 <= tau)
+            fr = buf[3:4, :]
+            fg = buf[4:5, :]
+            fb_ = buf[5:6, :]
+            ix = buf[6:7, :]
+            iy = buf[7:8, :]
+            iz = buf[8:9, :]
+            perp = nx_ * ix + ny_ * iy + nz_ * iz
+            cull = (((qcos < 0) & (perp < 0)) | ((qcos > 0) & (perp > 0)))
+            use = include & ~cull
+            cos_a = jnp.maximum(-(bx * ix + by * iy + bz * iz), 0.0)
+            pow_a = jnp.exp(shin * jnp.log(jnp.maximum(cos_a, 1e-30)))
+            base = jnp.abs(perp)
+            usf = use.astype(jnp.float32)
+            if r2_for_gauss is None:
+                d = jnp.sqrt(jnp.maximum(d2, 1e-12))
+                for ch, (f, kd_c, ks_c) in enumerate(
+                        [(fr, kdr, ksr), (fg, kdg, ksg), (fb_, kdb, ksb)]):
+                    c = f * scale * (base * kd_c + pow_a * ks_c) * usf
+                    st_ref[:, ch:ch + 1] += jnp.sum(c, axis=1,
+                                                    keepdims=True)
+                    if filter_type == CONE:
+                        st_ref[:, 3 + ch:4 + ch] += jnp.sum(
+                            c * d, axis=1, keepdims=True)
+                st_ref[:, 6:7] = jnp.maximum(
+                    st_ref[:, 6:7],
+                    jnp.max(jnp.where(include, d2, 0.0), axis=1,
+                            keepdims=True))
+                st_ref[:, 7:8] += jnp.sum(include.astype(jnp.float32),
+                                          axis=1, keepdims=True)
+            else:
+                # gauss second pass: w(d2, r2) with r2 known
+                c1 = np.exp(-f_b)
+                w = 1.0 - (1.0 - jnp.exp(-f_b * d2 /
+                                         (2.0 * r2_for_gauss))) / (1.0 - c1)
+                for ch, (f, kd_c, ks_c) in enumerate(
+                        [(fr, kdr, ksr), (fg, kdg, ksg), (fb_, kdb, ksb)]):
+                    c = f * scale * (base * kd_c + pow_a * ks_c) * usf
+                    st_ref[:, 8 + ch:9 + ch] += jnp.sum(
+                        c * w, axis=1, keepdims=True)
+                st_ref[:, 11:12] += jnp.sum(w * usf, axis=1, keepdims=True)
+
+        stream(fn)
+
+    acc_pass(None)
+
+    cnt = st_ref[:, 7:8]
+    maxd2 = jnp.where(total < kf, jnp.float32(cap2),
+                      jnp.maximum(st_ref[:, 6:7], 1e-6))
+
+    if filter_type == GAUSS:
+        acc_pass(maxd2)
+
+    acc = st_ref[:, 0:3]
+    if filter_type == CONE:
+        r = jnp.sqrt(maxd2)
+        accd = st_ref[:, 3:6]
+        est = (acc - accd / (f_k * r)) / (
+            (1.0 - 2.0 / (3.0 * f_k)) * jnp.pi * maxd2)
+    elif filter_type == GAUSS:
+        total_w = st_ref[:, 11:12]
+        norm = jnp.where(total_w > 0, f_a * cnt /
+                         jnp.maximum(total_w, 1e-30), 0.0)
+        est = st_ref[:, 8:11] * (norm / (jnp.pi * maxd2))
+    else:
+        est = acc / (jnp.pi * maxd2)
+
+    est = jnp.where(cnt > 0, est, 0.0)
+    est_ref[:, 0:3] = est
+    est_ref[:, 3:4] = cnt
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("K", "cap2", "filter_type", "f_a", "f_b", "f_k",
+                     "interpret"))
+def _gather_call(wlo, wnch, qpack, se, sc, photons, *, K, cap2, filter_type,
+                 f_a, f_b, f_k, interpret=False):
+    nb = wlo.shape[0]
+    B = qpack.shape[0]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((QB, 24), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((QB, 64), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((QB, 32), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((QB, 4), lambda i, *_: (i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((16, WCH), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((QB, NB), jnp.float32),
+            pltpu.VMEM((QB, 16), jnp.float32),
+        ],
+    )
+    kernel = functools.partial(
+        _gather_kernel, K=K, cap2=cap2, filter_type=filter_type,
+        f_a=f_a, f_b=f_b, f_k=f_k)
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, 4), jnp.float32),
+        interpret=interpret,
+    )(wlo, wnch, qpack, se, sc, photons)
+    return out
+
+
+def estimate_radiance_pallas(grid, point, normal, exact_bounce, cos_theta,
+                             kd, ks, shin, estimate_size, estimate_dist,
+                             filter_type, cfg, interpret: bool = False):
+    """Pallas-kernel radiance estimate; same contract as
+    gather.estimate_radiance.  Wrapper: sort queries by cell, derive the 27
+    per-cell photon intervals + decimation scales and the 9 per-block
+    superwindows, launch the kernel, unsort."""
+    nx, ny, nz = grid.dims
+    N = grid.pos.shape[0]
+    B = point.shape[0]
+    cap2 = float(estimate_dist) * float(estimate_dist)
+
+    ijk = jnp.floor((point - grid.origin) * grid.inv_h).astype(jnp.int32)
+    cid_sort = ((jnp.clip(ijk[:, 0], 0, nx - 1) * ny
+                 + jnp.clip(ijk[:, 1], 0, ny - 1)) * nz
+                + jnp.clip(ijk[:, 2], 0, nz - 1))
+    order = jnp.argsort(cid_sort)
+    inv_order = jnp.argsort(order)
+
+    def srt(x):
+        return x[order]
+
+    point_s, normal_s, bounce_s = srt(point), srt(normal), srt(exact_bounce)
+    cos_s, kd_s, ks_s, shin_s = (srt(cos_theta), srt(kd), srt(ks), srt(shin))
+    ijk_s = ijk[order]
+
+    # 27 per-cell intervals, run-major (dx,dy), z-minor.  NOTE: unlike the
+    # jnp fallback, the kernel streams windows of ANY length, so over-full
+    # cells are read in full — no stochastic decimation, exact kNN even in
+    # caustic hot spots (scale stays 1).
+    starts, ends, scales = [], [], []
+    BIG = jnp.int32(1 << 30)
+    for dx in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            cx = ijk_s[:, 0] + dx
+            cy = ijk_s[:, 1] + dy
+            ok_xy = (cx >= 0) & (cx < nx) & (cy >= 0) & (cy < ny)
+            for dz in (-1, 0, 1):
+                cz = ijk_s[:, 2] + dz
+                ok = ok_xy & (cz >= 0) & (cz < nz)
+                cid = ((jnp.clip(cx, 0, nx - 1) * ny
+                        + jnp.clip(cy, 0, ny - 1)) * nz
+                       + jnp.clip(cz, 0, nz - 1))
+                s = grid.cell_start[cid]
+                e = grid.cell_start[cid + 1]
+                starts.append(jnp.where(ok, s, BIG))
+                ends.append(jnp.where(ok, e, 0))
+                scales.append(jnp.ones_like(s, jnp.float32))
+    starts = jnp.stack(starts, axis=1)    # [B, 27]
+    ends = jnp.stack(ends, axis=1)
+    scales = jnp.stack(scales, axis=1)
+
+    pad = (-B) % QB
+    qpack = jnp.concatenate([
+        point_s, normal_s, bounce_s, cos_s[:, None], shin_s[:, None],
+        kd_s, ks_s, jnp.zeros((B, 7))], axis=1).astype(jnp.float32)
+    qpack = jnp.pad(qpack, ((0, pad), (0, 0)))
+    # padded queries: start=BIG, end=0 -> empty intervals AND no window pull
+    starts_p = jnp.pad(starts, ((0, pad), (0, 0)),
+                       constant_values=1 << 30)
+    ends_p = jnp.pad(ends, ((0, pad), (0, 0)))
+    se = jnp.concatenate(
+        [starts_p, ends_p, jnp.zeros((B + pad, 10), jnp.int32)],
+        axis=1).astype(jnp.int32)
+    sc = jnp.pad(jnp.concatenate(
+        [scales, jnp.zeros((B, 5), jnp.float32)], axis=1).astype(
+            jnp.float32), ((0, pad), (0, 0)))
+
+    nb = (B + pad) // QB
+    s_blk = jnp.where(se[:, :27] >= BIG, BIG, se[:, :27]).reshape(nb, QB, 27)
+    e_blk = se[:, 27:54].reshape(nb, QB, 27)
+    run_lo = jnp.min(s_blk.reshape(nb, QB, 9, 3), axis=(1, 3))
+    run_hi = jnp.max(e_blk.reshape(nb, QB, 9, 3), axis=(1, 3))
+    # Mosaic requires lane-tile-aligned HBM slices: round window starts
+    # down to the chunk width (the extra lanes mask out in-kernel).
+    run_lo = (jnp.minimum(run_lo, N) // WCH) * WCH
+    wlen = jnp.maximum(run_hi - run_lo, 0)
+    wnch = ((wlen + WCH - 1) // WCH).astype(jnp.int32)
+    wlo = run_lo.astype(jnp.int32)
+
+    out = _gather_call(
+        wlo, wnch, qpack, se, sc, grid.packed,
+        K=int(estimate_size), cap2=cap2, filter_type=int(filter_type),
+        f_a=float(cfg.filter_const_a), f_b=float(cfg.filter_const_b),
+        f_k=float(cfg.filter_const_k), interpret=interpret)
+    return out[:B, 0:3][inv_order]

@@ -84,14 +84,18 @@ def _emit_from_light(scene: Scene, i: int, kind: int, key, n: int):
         d = S.uniform_sphere_dir(u[:, 0], u[:, 1])
     elif kind == LIGHT_SPOT:
         # Phong-lobe around the axis, rejection against the cutoff with a
-        # "cheat" fallback (photontracer.cpp:258-286).  The reference tries
-        # 20 times then narrows the lobe; we unroll 4 tries + cheat.
+        # "cheat" fallback (photontracer.cpp:258-286): the reference draws
+        # up to 21 times (attempts_left = 20 in a do-while), then falls back
+        # to ONE narrowed-lobe draw (cos_theta = cutoff shrinks angle_limit)
+        # that is NOT re-checked against the cutoff.  Unrolled as 21 masked
+        # draws + the unchecked cheat so the emitted distribution matches
+        # (tests/test_photon.py KS test at 10-degree cutoffs).
         norm = jnp.broadcast_to(lt.direction[i], (n, 3))
         cutoff = jnp.cos(lt.cutoff[i])
         ones = jnp.ones((n,))
         d = S.specular_importance_sample(norm, lt.dropoff[i], ones,
                                          u[:, 0], u[:, 1])
-        for attempt in range(3):
+        for attempt in range(20):
             ua = jax.random.uniform(jax.random.fold_in(key, attempt + 100),
                                     (n, 2))
             cand = S.specular_importance_sample(norm, lt.dropoff[i], ones,
@@ -325,15 +329,25 @@ def trace_photon_map(scene: Scene, cfg: RenderConfig, key, map_type: int,
     if total_power <= 0 or scene.n_lights == 0:
         return None, {}
 
-    # fixed round size (static shapes -> one compile); per-light counts
-    # proportional to power
-    round_size = int(min(max(4096, goal // 4), 262144))
-    counts = [int(round(round_size * p / total_power)) for p in powers]
-    # ensure at least 1 for active lights and exact-ish total
-    counts = [max(1, c) if p > 0 else 0 for c, p in zip(counts, powers)]
-    counts = tuple(counts)
-    R = sum(counts)
-    cap = 8 * R
+    # Round sizes come from a small discrete ladder (static shapes -> one
+    # compile per size).  The reference's feedback loop adapts its emit goal
+    # by the measured store rate (photonmap.cpp:163-198); we do the same but
+    # quantized: low-efficiency maps (caustics reject most paths) escalate
+    # to bigger rounds instead of paying thousands of tiny host launches.
+    _SIZES = (4096, 16384, 65536, 262144)
+
+    def _setup(round_size):
+        counts = [int(round(round_size * p / total_power)) for p in powers]
+        counts = [max(1, c) if p > 0 else 0
+                  for c, p in zip(counts, powers)]
+        counts = tuple(counts)
+        return counts, sum(counts), 8 * sum(counts)
+
+    size_i = 0
+    want = max(4096, goal // 4)
+    while size_i < len(_SIZES) - 1 and _SIZES[size_i] < want:
+        size_i += 1
+    counts, R, cap = _setup(_SIZES[size_i])
 
     n_dev = int(mesh.devices.size) if mesh is not None else 1
 
@@ -366,6 +380,15 @@ def trace_photon_map(scene: Scene, cfg: RenderConfig, key, map_type: int,
         stored += round_stored
         if round_stored == 0:
             attempts -= 1
+        elif stored < goal and size_i < len(_SIZES) - 1:
+            # escalate the round size to what the measured efficiency says
+            # the remaining quota needs (in one or a few rounds)
+            eff = stored / max(emitted, 1)
+            need_emit = (goal - stored) / max(eff, 1e-9) / n_dev
+            while (size_i < len(_SIZES) - 1
+                   and _SIZES[size_i] < need_emit / 2):
+                size_i += 1
+            counts, R, cap = _setup(_SIZES[size_i])
     elapsed = time.time() - t0
 
     stats = dict(stored=stored, emitted=emitted, seconds=elapsed,

@@ -1,0 +1,106 @@
+"""Pallas radiance-gather kernel vs the jnp reference path (interpret mode).
+
+SURVEY §7.6 / VERDICT r1 item 5: the radiance estimate implemented as a
+Pallas kernel — streamed window scans + threshold refinement instead of the
+[B, 27*cell_cap] HBM gather + giant top_k.  Exact in the sub-K regime; in
+denser-than-K regions a single boundary photon may swap at the K-th-neighbor
+tie shell (≤1/K relative flux), hence the two-tier tolerances.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from gi_tpu.photon.gather import build_grid, estimate_radiance
+from gi_tpu.photon.pallas_gather import estimate_radiance_pallas
+from gi_tpu.utils.config import RenderConfig
+
+CFG = RenderConfig()
+
+
+def _mkgrid(rng, n, hotspot=0, cell_cap=96, dist=0.06):
+    pos = rng.uniform(0, 1, (n, 3)).astype(np.float32)
+    if hotspot:
+        pos[:hotspot] = (0.5 + 0.02 * rng.normal(size=(hotspot, 3))
+                         ).astype(np.float32)
+        pos = np.clip(pos, 0, 1)
+    power = rng.uniform(0, 1e-3, (n, 3)).astype(np.float32)
+    code = rng.integers(0, 65536, n).astype(np.int32)
+    return build_grid(jnp.asarray(pos), jnp.asarray(power),
+                      jnp.asarray(code), jnp.ones(n, bool),
+                      np.zeros(3), np.ones(3), dist, cell_cap=cell_cap)
+
+
+def _queries(rng, b, spread=1.0, center=None):
+    if center is None:
+        q = rng.uniform(0, 1, (b, 3)).astype(np.float32)
+    else:
+        q = (center + spread * rng.normal(size=(b, 3))).astype(np.float32)
+        q = np.clip(q, 0, 1)
+    n = rng.normal(size=(b, 3))
+    n = (n / np.linalg.norm(n, axis=1, keepdims=True)).astype(np.float32)
+    eb = rng.normal(size=(b, 3))
+    eb = (eb / np.linalg.norm(eb, axis=1, keepdims=True)).astype(np.float32)
+    ct = rng.uniform(-1, 1, b).astype(np.float32)
+    kd = rng.uniform(0, 1, (b, 3)).astype(np.float32)
+    ks = rng.uniform(0, 0.5, (b, 3)).astype(np.float32)
+    sh = rng.uniform(1, 50, b).astype(np.float32)
+    return tuple(jnp.asarray(x) for x in (q, n, eb, ct, kd, ks, sh))
+
+
+@pytest.mark.parametrize("ft", [0, 1, 2], ids=["disk", "cone", "gauss"])
+def test_dense_hotspot_parity(ft):
+    """Dense region (decimation + K-th threshold both active)."""
+    rng = np.random.default_rng(0)
+    grid = _mkgrid(rng, 12000, hotspot=6000, dist=0.05)
+    args = _queries(rng, 200, spread=0.05, center=0.5)
+    K, dist = 64, 0.05
+    ref = np.asarray(estimate_radiance(grid, *args, K, dist, ft, CFG))
+    got = np.asarray(estimate_radiance_pallas(grid, *args, K, dist, ft, CFG,
+                                              interpret=True))
+    scale = np.abs(ref).max()
+    assert np.abs(got - ref).max() / scale < 3e-2
+    assert np.abs(got - ref).mean() / max(np.abs(ref).mean(), 1e-12) < 5e-3
+
+
+def test_sparse_regime_exact():
+    """Fewer than K candidates in range everywhere -> both paths compute
+    the identical fixed-cap estimate."""
+    rng = np.random.default_rng(1)
+    grid = _mkgrid(rng, 3000, dist=0.04)
+    args = _queries(rng, 130)
+    ref = np.asarray(estimate_radiance(grid, *args, 500, 0.04, 0, CFG))
+    got = np.asarray(estimate_radiance_pallas(grid, *args, 500, 0.04, 0,
+                                              CFG, interpret=True))
+    assert ref.max() > 0
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=1e-5)
+
+
+def test_queries_outside_grid_are_zero():
+    rng = np.random.default_rng(2)
+    grid = _mkgrid(rng, 2000, dist=0.04)
+    q, n, eb, ct, kd, ks, sh = _queries(rng, 128)
+    q = q + 5.0  # far outside the [0,1] bbox
+    got = np.asarray(estimate_radiance_pallas(grid, q, n, eb, ct, kd, ks,
+                                              sh, 32, 0.04, 0, CFG,
+                                              interpret=True))
+    np.testing.assert_array_equal(got, 0.0)
+
+
+def test_dispatch_via_pallas_mode():
+    """estimate_radiance routes to the kernel under pallas mode
+    'interpret' and returns the same values it does directly."""
+    from gi_tpu.ops.intersect import set_pallas_mode
+    rng = np.random.default_rng(3)
+    grid = _mkgrid(rng, 3000, dist=0.04)
+    args = _queries(rng, 64)
+    direct = np.asarray(estimate_radiance_pallas(grid, *args, 32, 0.04, 0,
+                                                 CFG, interpret=True))
+    set_pallas_mode("interpret")
+    try:
+        routed = np.asarray(estimate_radiance(grid, *args, 32, 0.04, 0,
+                                              CFG))
+    finally:
+        set_pallas_mode("auto")
+    np.testing.assert_allclose(routed, direct, rtol=1e-6)

@@ -175,3 +175,113 @@ def test_global_map_build(cornell_scene):
         jnp.full((1, 3), 0.8), jnp.zeros((1, 3)), jnp.asarray([10.0]),
         cfg.global_estimate_size, cfg.global_estimate_dist, 0, cfg)
     assert float(est.sum()) > 0
+
+
+def test_spot_emission_distribution_narrow_cutoff():
+    """KS test of spot-light emitted directions vs the closed-form
+    truncated-Phong density for a narrow (10-degree) cutoff — validates the
+    21-draw rejection + narrowed-lobe cheat semantics of the reference
+    (photontracer.cpp:258-286)."""
+    from gi_tpu.photon.trace import _emit_from_light
+    from gi_tpu.scene.types import LIGHT_SPOT, build_scene
+
+    s_drop, cut = 10.0, np.deg2rad(10.0)
+    z3, z = np.zeros((0, 3)), np.zeros(0)
+    scene = build_scene(
+        tris_np=dict(v0=[[0, 0, 5]], e1=[[1, 0, 0]], e2=[[0, 1, 0]],
+                     normal=[[0, 0, 1]], mat=[0]),
+        spheres_np=dict(center=z3, radius=z, mat=z),
+        boxes_np=dict(lo=z3, hi=z3, mat=z),
+        cylinders_np=dict(p0=z3, p1=z3, radius=z, mat=z),
+        cones_np=dict(p0=z3, p1=z3, radius=z, mat=z),
+        circles_np=dict(center=z3, normal=z3, radius=z, mat=z),
+        materials_np=dict(ka=np.zeros((1, 3)), kd=np.ones((1, 3)),
+                          ks=np.zeros((1, 3)), kt=np.zeros((1, 3)),
+                          emission=np.zeros((1, 3)),
+                          shininess=np.ones(1), ir=np.ones(1)),
+        lights_np=dict(kind=[LIGHT_SPOT], color=[[1, 1, 1]],
+                       position=[[0, 0, 0]], direction=[[0, 0, 1]],
+                       radius=[0.0], axis1=[[1, 0, 0]], axis2=[[0, 1, 0]],
+                       len1=[0.0], len2=[0.0], ca=[1.0], la=[0.0],
+                       qa=[0.0], cutoff=[cut], dropoff=[s_drop],
+                       intensity=[1.0]),
+        camera_np=dict(eye=[0, 0, -1], towards=[0, 0, 1], up=[0, 1, 0],
+                       right=[-1, 0, 0], xfov=0.5, yfov=0.5,
+                       neardist=0.01, fardist=100.0),
+        ambient=np.zeros(3), background=np.zeros(3))
+
+    n = 20000
+    _, d = _emit_from_light(scene, 0, LIGHT_SPOT, jax.random.PRNGKey(9), n)
+    cos_a = np.asarray(d)[:, 2]
+    cos_c = np.cos(cut)
+
+    # The only out-of-cone mass is the unchecked cheat tail, with
+    # closed-form probability (1-p_in)^21 * P(narrowed lobe > cutoff):
+    # the 21 rejection draws accept with p_in = 1 - cos_c^(s+1) each, and
+    # the cheat's alpha = acos(u^(1/(s+1))) * angle_limit(cutoff) exceeds
+    # the cutoff iff u < cos(cut/angle_limit)^(s+1).
+    p_in = 1.0 - cos_c ** (s_drop + 1)
+    angle_limit = 1.0 - np.arccos(cos_c) * 2.0 / np.pi
+    p_out_cheat = np.cos(cut / angle_limit) ** (s_drop + 1)
+    expected_out = (1.0 - p_in) ** 21 * p_out_cheat
+    frac_out = float((cos_a < cos_c - 1e-6).mean())
+    assert abs(frac_out - expected_out) < 0.01, (
+        f"{frac_out:.3%} outside cutoff, closed form {expected_out:.3%}")
+
+    # In-cone samples follow the truncated Phong CDF
+    # F(x) = (x^(s+1) - cos_c^(s+1)) / (1 - cos_c^(s+1))
+    x = np.sort(cos_a[cos_a >= cos_c])
+    m = len(x)
+    F = (x ** (s_drop + 1) - cos_c ** (s_drop + 1)) / (
+        1.0 - cos_c ** (s_drop + 1))
+    ecdf = (np.arange(m) + 0.5) / m
+    ks = np.abs(F - ecdf).max()
+    assert ks < 0.05, f"KS distance {ks:.4f} vs truncated-Phong CDF"
+
+
+def test_grid_sizing_large_scene_span():
+    """Stress the cell-size clamp (build_grid: cell = max(estimate_dist,
+    span/max_dim)): on a stilllife-scale bbox where span/256 >> estimate_dist
+    the cells grow past the query radius, which must inflate candidate
+    windows but NOT change the estimates — the 27-cell grid path must still
+    match the exact brute-force path (photon_utils.cpp:85-96 max-dist
+    semantics)."""
+    from gi_tpu.photon.gather import (_estimate_chunk, _estimate_chunk_brute,
+                                      build_grid)
+
+    rng = np.random.default_rng(21)
+    n = 20000
+    span = 1000.0          # bbox span 1000, dist 0.5 -> span/256 ~ 3.9
+    dist = 0.5
+    pos = rng.uniform(0, span, (n, 3)).astype(np.float32)
+    # cluster some photons so queries actually find neighbors
+    pos[:5000] = (span / 2 + rng.normal(scale=2.0, size=(5000, 3))
+                  ).astype(np.float32)
+    power = rng.uniform(0, 1e-2, (n, 3)).astype(np.float32)
+    code = rng.integers(0, 65536, n).astype(np.int32)
+    # cell_cap high enough that no cell decimates: this test isolates the
+    # oversized-cell windowing, not the (documented) decimation
+    # approximation that the exact brute/Pallas paths avoid.
+    grid = build_grid(jnp.asarray(pos), jnp.asarray(power),
+                      jnp.asarray(code), jnp.ones(n, bool),
+                      np.zeros(3), np.full(3, span), dist, cell_cap=8192)
+    # the clamp actually engaged: cells are larger than the query radius
+    assert 1.0 / float(grid.inv_h) > dist
+
+    B = 160
+    q = (span / 2 + rng.normal(scale=2.5, size=(B, 3))).astype(np.float32)
+    nrm = rng.normal(size=(B, 3))
+    nrm = (nrm / np.linalg.norm(nrm, axis=1, keepdims=True)).astype(
+        np.float32)
+    ct = rng.uniform(-1, 1, B).astype(np.float32)
+    kd = rng.uniform(0, 1, (B, 3)).astype(np.float32)
+    ks = rng.uniform(0, 0.3, (B, 3)).astype(np.float32)
+    sh = rng.uniform(1, 20, B).astype(np.float32)
+    cfg = RenderConfig()
+    args = (grid, jnp.asarray(q), jnp.asarray(nrm), jnp.asarray(nrm),
+            jnp.asarray(ct), jnp.asarray(kd), jnp.asarray(ks),
+            jnp.asarray(sh), 32, dist, 0, cfg)
+    got = np.asarray(_estimate_chunk(*args))
+    oracle = np.asarray(_estimate_chunk_brute(*args))
+    assert np.abs(oracle).max() > 0  # queries found photons
+    np.testing.assert_allclose(got, oracle, rtol=2e-4, atol=1e-6)
