@@ -190,6 +190,98 @@ def read_obj(path: str) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
             np.asarray(groups, np.int64))
 
 
+def read_mtl(path: str) -> dict[str, dict]:
+    """Parse a Wavefront .mtl file into material dicts keyed by name.
+
+    Mirrors the reference `ReadObjMtlFile` (R3Scene.cpp:699-889): Ka/Kd/Ks
+    RGB, Ns shininess, Ni index of refraction, `d` opacity (transmission =
+    1-d, R3Brdf::SetOpacity) and `Tr` transparency (transmission = Tr);
+    `map_Kd` textures are parsed-and-unused, like the reference renderer
+    (README.md:127)."""
+    mats: dict[str, dict] = {}
+    cur: dict | None = None
+    with open(path) as f:
+        for line in f:
+            tok = line.split("#", 1)[0].split()
+            if not tok:
+                continue
+            kw = tok[0]
+            if kw == "newmtl":
+                name = tok[1] if len(tok) > 1 else ""
+                cur = dict(ka=np.zeros(3), kd=np.zeros(3), ks=np.zeros(3),
+                           kt=np.zeros(3), emission=np.zeros(3),
+                           shininess=0.2, ir=1.0)
+                mats[name] = cur
+            elif cur is None:
+                continue
+            elif kw in ("Ka", "Kd", "Ks") and len(tok) >= 4:
+                cur[{"Ka": "ka", "Kd": "kd", "Ks": "ks"}[kw]] = np.asarray(
+                    [float(tok[1]), float(tok[2]), float(tok[3])])
+            elif kw == "Ns" and len(tok) >= 2:
+                cur["shininess"] = float(tok[1])
+            elif kw == "Ni" and len(tok) >= 2:
+                cur["ir"] = float(tok[1])
+            elif kw == "d" and len(tok) >= 2:
+                cur["kt"] = np.full(3, 1.0 - float(tok[1]))
+            elif kw == "Tr" and len(tok) >= 2:
+                cur["kt"] = np.full(3, float(tok[1]))
+    return mats
+
+
+def read_obj_scene(path: str):
+    """OBJ + MTL -> (verts [V,3], faces [F,3], face_mat [F], materials).
+
+    The reference's `ReadObjFile` path (R3Scene.cpp:890-1130): `mtllib`
+    files are parsed relative to the OBJ's directory, `usemtl` selects the
+    active material per face.  `materials` is a list of material dicts in
+    group-id order; faces before any `usemtl` (or naming an unknown
+    material) get id -1 (caller's default material)."""
+    import os
+
+    verts: list[tuple[float, float, float]] = []
+    faces: list[tuple[int, int, int]] = []
+    face_mat: list[int] = []
+    mtl_by_name: dict[str, dict] = {}
+    group_ids: dict[str, int] = {}
+    materials: list[dict] = []
+    cur = -1
+    dirname = os.path.dirname(os.path.abspath(path))
+    with open(path) as f:
+        for line in f:
+            tok = line.split("#", 1)[0].split()
+            if not tok:
+                continue
+            if tok[0] == "v":
+                verts.append((float(tok[1]), float(tok[2]), float(tok[3])))
+            elif tok[0] == "mtllib":
+                for name in tok[1:]:
+                    p = os.path.join(dirname, name)
+                    if os.path.exists(p):
+                        mtl_by_name.update(read_mtl(p))
+            elif tok[0] == "usemtl":
+                name = tok[1] if len(tok) > 1 else ""
+                if name not in mtl_by_name:
+                    cur = -1
+                elif name in group_ids:
+                    cur = group_ids[name]
+                else:
+                    cur = group_ids.setdefault(name, len(materials))
+                    materials.append(mtl_by_name[name])
+            elif tok[0] == "f":
+                idx = []
+                for t in tok[1:]:
+                    v = t.split("/")[0]
+                    i = int(v)
+                    idx.append(i - 1 if i > 0 else len(verts) + i)
+                for j in range(1, len(idx) - 1):
+                    faces.append((idx[0], idx[j], idx[j + 1]))
+                    face_mat.append(cur)
+    return (np.asarray(verts, np.float64).reshape(-1, 3),
+            np.asarray(faces, np.int64).reshape(-1, 3),
+            np.asarray(face_mat, np.int64),
+            materials)
+
+
 def read_mesh(path: str) -> tuple[np.ndarray, np.ndarray]:
     """Extension-dispatched mesh read (.off/.ply/.obj), the `R3Mesh::ReadFile`
     analogue used by the `.scn` `mesh` command and standalone mesh scenes."""

@@ -398,16 +398,29 @@ def load_scene(path: str, real_material: bool = False) -> Scene:
 
 
 def load_mesh_scene(path: str) -> Scene:
-    """Build a renderable scene around a bare mesh file."""
-    from .mesh_io import read_mesh
+    """Build a renderable scene around a bare mesh file.  OBJ files with
+    `mtllib`/`usemtl` get their parsed materials (reference `ReadObjFile`,
+    R3Scene.cpp:890-1130); faces without one use the default gray."""
+    from .mesh_io import read_mesh, read_obj_scene
 
-    verts, faces = read_mesh(path)
     b = _Builder()
-    b.materials.append(dict(
+    default_mat = dict(
         _DEFAULT_MATERIAL,
-        kd=np.array([0.7, 0.7, 0.7]), ka=np.array([0.1, 0.1, 0.1])))
-    for (i, j, k) in faces:
-        b.add_tri(verts[i], verts[j], verts[k], 0)
+        kd=np.array([0.7, 0.7, 0.7]), ka=np.array([0.1, 0.1, 0.1]))
+    if path.lower().endswith(".obj"):
+        verts, faces, face_mat, materials = read_obj_scene(path)
+        b.materials.append(default_mat)
+        base = len(b.materials)
+        for m in materials:
+            b.materials.append(dict(_DEFAULT_MATERIAL, **m))
+        for (i, j, k), g in zip(faces, face_mat):
+            b.add_tri(verts[i], verts[j], verts[k],
+                      0 if g < 0 else base + int(g))
+    else:
+        verts, faces = read_mesh(path)
+        b.materials.append(default_mat)
+        for (i, j, k) in faces:
+            b.add_tri(verts[i], verts[j], verts[k], 0)
 
     lo, hi = verts.min(axis=0), verts.max(axis=0)
     center = 0.5 * (lo + hi)

@@ -113,3 +113,31 @@ def test_load_bare_mesh_scene(tmp_path, cube):
     img = render_image(scene, cfg)
     assert img.shape == (16, 16, 3)
     assert img[8, 8].sum() > 0.05
+
+
+def test_obj_with_mtl_materials(tmp_path):
+    """OBJ + MTL scenes load with per-face materials (reference
+    ReadObjFile + ReadObjMtlFile, R3Scene.cpp:699-1130)."""
+    (tmp_path / "m.mtl").write_text(
+        "newmtl red\nKa 0.1 0 0\nKd 0.9 0.1 0.1\nNs 25\n"
+        "newmtl glass\nKd 0 0 0\nKs 0.1 0.1 0.1\nTr 0.95\nNi 1.5\n")
+    (tmp_path / "two.obj").write_text(
+        "mtllib m.mtl\n"
+        "v 0 0 0\nv 1 0 0\nv 0 1 0\nv 1 1 0\n"
+        "usemtl red\nf 1 2 3\n"
+        "usemtl glass\nf 2 4 3\n"
+        "usemtl unknown\nf 1 3 4\n")
+    from gi_tpu.scene.scn import load_scene
+    scene = load_scene(str(tmp_path / "two.obj"))
+    assert scene.tris.v0.shape[0] == 3
+    mats = scene.materials
+    kd = np.asarray(mats.kd)
+    kt = np.asarray(mats.kt)
+    ir = np.asarray(mats.ir)
+    tri_mats = np.asarray(scene.tris.mat)
+    # one face red-diffuse, one transparent glass (Tr + Ni), one default
+    assert any(np.allclose(kd[m], [0.9, 0.1, 0.1]) for m in tri_mats)
+    glass = [m for m in tri_mats if np.allclose(kt[m], [0.95] * 3)]
+    assert len(glass) == 1 and np.isclose(ir[glass[0]], 1.5)
+    default = [m for m in tri_mats if np.allclose(kd[m], [0.7] * 3)]
+    assert len(default) == 1
