@@ -73,23 +73,30 @@ def test_indirect_illumination_cornell(tmp_path, cornell_scene):
     import jax
     from gi_tpu.photon.trace import build_photon_maps
 
-    res = 24
+    res = 32
     ref = _ref("cornell.scn", str(tmp_path / "ref.png"), res,
                ["-no_caustic", "-no_transmissive", "-no_specular",
-                "-global", "2000", "-it", "32", "-md", "6", "-gs", "30",
+                "-global", "10000", "-it", "48", "-md", "6", "-gs", "30",
                 "-gd", "0.5"])
     cfg = RenderConfig(width=res, height=res, aa=0, caustic_illum=False,
                        transmissive_illum=False, specular_illum=False,
-                       global_photon_count=2000, indirect_test=32,
+                       global_photon_count=10000, indirect_test=48,
                        max_monte_depth=6, global_estimate_size=30,
-                       global_estimate_dist=0.5, ray_tile=576,
+                       global_estimate_dist=0.5, ray_tile=1024,
                        max_photon_depth=6)
     maps, cfg = build_photon_maps(cornell_scene, cfg, jax.random.PRNGKey(7))
     img = render_image(cornell_scene, cfg, photon_maps=maps)
     write_image(img, str(tmp_path / "ours.png"))
     ours = read_image(str(tmp_path / "ours.png"))
     d = np.abs(ref - ours)
-    # small maps -> noisy estimates on both sides; compare means coarsely
-    assert np.abs(ref.mean() - ours.mean()) < 0.06, \
+    # at this sample budget both estimators converge: observed deltas are
+    # ~0.004 per quadrant / 0.010 per pixel; gates are ~3-4x that margin
+    assert np.abs(ref.mean() - ours.mean()) < 0.02, \
         f"ref {ref.mean():.4f} ours {ours.mean():.4f}"
-    assert d.mean() < 0.08, f"mean diff {d.mean():.4f}"
+    assert d.mean() < 0.03, f"mean diff {d.mean():.4f}"
+    # localized gate: no quadrant-sized energy error can hide in the mean
+    H = res // 2
+    for ys in (slice(0, H), slice(H, None)):
+        for xs in (slice(0, H), slice(H, None)):
+            rq, oq = ref[ys, xs].mean(), ours[ys, xs].mean()
+            assert abs(rq - oq) < 0.02, f"quadrant {ys},{xs}: {rq} vs {oq}"
