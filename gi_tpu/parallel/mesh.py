@@ -12,6 +12,7 @@ a mutex-guarded photon buffer (SURVEY.md §2.3).  The TPU-native equivalents:
   P4  statistics    -> per-device counters reduced with psum.
   P5  RNG           -> threefry key fold_in(axis_index) per device.
   P7  collectives ride ICI within a slice (psum/all_gather inserted by XLA).
+  P8  sharded photon map -> ring-exchange kNN gather (parallel/gather.py).
 
 Gradients for the differentiable path are averaged across devices with a
 psum inside the sharded loss, overlapping the backward pass.

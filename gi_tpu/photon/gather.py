@@ -234,6 +234,22 @@ def _finish_estimate(grid, point, normal, exact_bounce, cos_theta, kd, ks,
                      top_d2, gidx, flux_scale):
     """Shared tail of EstimateRadiance: normal-side cull, Phong weighting,
     disk/cone/gauss filter normalization (photon_utils.cpp:109-161)."""
+    flux = grid.power[gidx].astype(jnp.float32)        # [B,K,3]
+    flux = flux * flux_scale[..., None]
+    incident = S.decode_direction(grid.dir_code[gidx])  # [B,K,3]
+    return finish_estimate_payload(normal, exact_bounce, cos_theta, kd, ks,
+                                   shin, K, estimate_dist, filter_type, cfg,
+                                   top_d2, flux, incident)
+
+
+def finish_estimate_payload(normal, exact_bounce, cos_theta, kd, ks,
+                            shin, K, estimate_dist, filter_type, cfg,
+                            top_d2, flux, incident):
+    """EstimateRadiance tail over an explicit neighbor payload
+    (top_d2 [B,K], flux [B,K,3], incident [B,K,3]) — shared by the local
+    index-based paths above and the ring-exchange sharded gather
+    (parallel/gather.py), which carries flux/direction with each candidate
+    instead of a global photon index."""
     found = jnp.isfinite(top_d2)
     num_nearby = jnp.sum(found, axis=1)
 
@@ -242,11 +258,6 @@ def _finish_estimate(grid, point, normal, exact_bounce, cos_theta, kd, ks,
     max_d2 = jnp.where(num_nearby < K,
                        jnp.asarray(estimate_dist * estimate_dist),
                        jnp.maximum(max_d2_found, 1e-6))
-
-    flux = grid.power[gidx].astype(jnp.float32)        # [B,K,3]
-    flux = flux * flux_scale[..., None]
-    code = grid.dir_code[gidx]
-    incident = S.decode_direction(code)                # [B,K,3]
 
     # normal-side cull (photon_utils.cpp:119-123)
     perp = S.dot(normal[:, None], incident)

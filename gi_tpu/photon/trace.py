@@ -453,9 +453,26 @@ def build_photon_maps(scene: Scene, cfg: RenderConfig, key,
     # flux + disk irradiance estimate at its position (photonmap.cpp:381-413)
     if cfg.irradiance_cache and global_grid is not None:
         own = global_grid.power.astype(jnp.float32)
-        est = estimate_irradiance(global_grid, global_grid.pos,
-                                  cfg.global_estimate_size,
-                                  cfg.global_estimate_dist)
+        if mesh is not None and int(mesh.devices.size) > 1:
+            # One query per stored photon — the heaviest flat gather batch
+            # in the pipeline.  Keep the photon set sharded and answer the
+            # queries by ring-exchanging the shards (SURVEY §2.3 P8).
+            from ..parallel.gather import (estimate_irradiance_ring,
+                                           shard_photons)
+            d = int(mesh.devices.size)
+            n = global_grid.pos.shape[0]
+            sharded = shard_photons(global_grid.pos, own,
+                                    global_grid.dir_code,
+                                    global_grid.valid, mesh)
+            qpad = -(-n // d) * d
+            q = jnp.pad(global_grid.pos, ((0, qpad - n), (0, 0)))
+            est = estimate_irradiance_ring(
+                sharded, q, cfg.global_estimate_size,
+                cfg.global_estimate_dist, mesh)[:n]
+        else:
+            est = estimate_irradiance(global_grid, global_grid.pos,
+                                      cfg.global_estimate_size,
+                                      cfg.global_estimate_dist)
         global_grid = global_grid.replace(
             power=(own + est).astype(jnp.bfloat16))
 
