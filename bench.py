@@ -207,14 +207,34 @@ def _bench_indirect():
     }
 
 
+_T_START = time.time()
+# Wall-clock budget for the extras ladder: past it, remaining rungs are
+# skipped so the primary metric always reaches stdout before any outer
+# driver timeout.
+_BUDGET_S = float(os.environ.get("GI_BENCH_BUDGET_S", "900"))
+
+
+def _note(msg):
+    print(f"[bench +{time.time() - _T_START:.0f}s] {msg}", file=sys.stderr,
+          flush=True)
+
+
+def _over_budget():
+    return time.time() - _T_START > _BUDGET_S
+
+
 def main():
+    _note("primary: cornell 1024^2 direct rays/s")
     primary = _bench_direct_rays()
+    _note(f"primary done: {primary['value']:.3g} rays/s")
     extras = []
     try:
+        _note("extras: caustic photon trace (2M)")
         photon_metric, grid = _bench_photon_trace()
         extras.append(photon_metric)
+        _note(f"photons/s done: {photon_metric['value']:.3g}")
         stored = photon_metric["stored"]
-        if photon_metric["value"] > 50_000:
+        if photon_metric["value"] > 50_000 and not _over_budget():
             # fast enough to trace the full matched-config 10M map
             from gi_tpu.photon.trace import MAP_CAUSTIC, trace_photon_map
             from gi_tpu.scene.scn import load_scene
@@ -222,14 +242,25 @@ def main():
             scene = load_scene(f"{INPUT}/caustic.scn")
             cfg = RenderConfig(caustic_photon_count=10_000_000,
                                max_photon_depth=128)
+            _note("extras: tracing full 10M caustic map")
             grid, st = trace_photon_map(scene, cfg, jax.random.PRNGKey(4),
                                         MAP_CAUSTIC)
             stored = int(st["stored"])
-        extras.append(_bench_caustic_combined(grid, stored))
+        if _over_budget():
+            extras.append({"metric": "direct_plus_caustic_512_seconds",
+                           "skipped": "bench budget exhausted"})
+        else:
+            _note("extras: direct+caustic 512^2 render")
+            extras.append(_bench_caustic_combined(grid, stored))
     except Exception as e:  # keep the primary metric alive
         extras.append({"metric": "caustic_bench_error", "error": repr(e)})
     try:
-        extras.append(_bench_indirect())
+        if _over_budget():
+            extras.append({"metric": "indirect64_512_seconds",
+                           "skipped": "bench budget exhausted"})
+        else:
+            _note("extras: indirect 64-sample 512^2 render")
+            extras.append(_bench_indirect())
     except Exception as e:
         extras.append({"metric": "indirect_bench_error", "error": repr(e)})
     out = dict(primary)
