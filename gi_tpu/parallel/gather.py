@@ -128,8 +128,11 @@ def _ring_topk(point, shard, K, estimate_dist, n_dev):
             lambda x: jax.lax.ppermute(x, AXIS, perm), sh)
         return merged, sh
 
-    (top, _) = jax.lax.fori_loop(0, n_dev, step, (init, shard))
-    return top
+    # D-1 rotations + a final rotation-free merge: the last shard each
+    # device sees stays put, so no ICI exchange is wasted on a result
+    # nobody reads.
+    (top, shard) = jax.lax.fori_loop(0, n_dev - 1, step, (init, shard))
+    return _merge_shard(point, *top, shard, radius2)
 
 
 def _chunked(point_like_args, chunk, fn):

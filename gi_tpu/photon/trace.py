@@ -309,6 +309,35 @@ def _scene_bbox(scene: Scene):
     return allp.min(axis=0), allp.max(axis=0)
 
 
+# Initial round-buffer capacity as a multiple of the emitted count per
+# round; module-level so tests can shrink it to exercise the overflow-retry.
+_CAP_FACTOR = {MAP_GLOBAL: 4, MAP_CAUSTIC: 2}
+
+# Device->host prefix fetches are quantized to this many rows so the number
+# of distinct dynamic_slice programs stays bounded (compile-cache friendly).
+_FETCH_CHUNK = 65536
+
+
+def _grow(buf, keep, shape, dtype):
+    """(Re)allocate a host accumulation buffer, preserving the first `keep`
+    rows of the old one."""
+    new = np.empty(shape, dtype)
+    if buf is not None and keep:
+        new[:keep] = buf[:keep]
+    return new
+
+
+def _fetch_prefix(arrays, lo, n, cap):
+    """Copy rows [lo, lo+n) of each device array to host, transferring only
+    a chunk-rounded prefix instead of the full `cap` buffer."""
+    n_pad = min(cap, -(-n // _FETCH_CHUNK) * _FETCH_CHUNK)
+    out = []
+    for a in arrays:
+        sl = jax.lax.dynamic_slice_in_dim(a, lo, n_pad, axis=0)
+        out.append(np.asarray(sl)[:n])
+    return out
+
+
 def trace_photon_map(scene: Scene, cfg: RenderConfig, key, map_type: int,
                      verbose: bool = False, mesh=None):
     """Host-side emission-cycle loop (photonmap.cpp:163-198): emit rounds
@@ -334,49 +363,99 @@ def trace_photon_map(scene: Scene, cfg: RenderConfig, key, map_type: int,
     # by the measured store rate (photonmap.cpp:163-198); we do the same but
     # quantized: low-efficiency maps (caustics reject most paths) escalate
     # to bigger rounds instead of paying thousands of tiny host launches.
-    _SIZES = (4096, 16384, 65536, 262144)
+    # The 1M/4M rungs carry the reference's 10M-100M-photon headline scale
+    # (README.md:357) in tens of host launches — TPU only: a 4M-lane walk
+    # is a non-starter on the CPU fallback (and in CPU-mesh tests).
+    from ..ops.intersect import _default_platform
+    if mesh is not None:
+        plat = mesh.devices.flat[0].platform
+    else:
+        plat = _default_platform()
+    _SIZES = (4096, 16384, 65536, 262144, 1048576, 4194304)
+    if plat != "tpu":
+        _SIZES = _SIZES[:4]
 
-    def _setup(round_size):
+    def _setup(round_size, cap_factor):
         counts = [int(round(round_size * p / total_power)) for p in powers]
         counts = [max(1, c) if p > 0 else 0
                   for c, p in zip(counts, powers)]
         counts = tuple(counts)
-        return counts, sum(counts), 8 * sum(counts)
+        return counts, sum(counts), max(1, int(cap_factor * sum(counts)))
 
+    # A caustic walk dies at its first diffuse store (photontracer.cpp:116-
+    # 139) so stores/emitted rarely exceeds 1; global walks store at every
+    # diffuse bounce.  Undersized caps are corrected by the overflow-retry
+    # below, so these start tight to keep the round buffers small.
+    cap_factor = _CAP_FACTOR[map_type]
     size_i = 0
     want = max(4096, goal // 4)
     while size_i < len(_SIZES) - 1 and _SIZES[size_i] < want:
         size_i += 1
-    counts, R, cap = _setup(_SIZES[size_i])
+    counts, R, cap = _setup(_SIZES[size_i], cap_factor)
 
     n_dev = int(mesh.devices.size) if mesh is not None else 1
 
-    pos_l, pow_l, dir_l = [], [], []
+    # Streamed host accumulation: one preallocated buffer sized for the goal
+    # plus one round of overshoot — no per-round list growth, so a 50M+ map
+    # costs goal*22 B of host RAM and one device->host copy of exactly the
+    # stored prefix per round (chunk-quantized, see _fetch_prefix).
+    buf_cap = 0
+    h_pos = h_pow = h_dir = None
     stored = 0
     emitted = 0
     attempts = 40
+    overflow_rounds = 0
     t0 = time.time()
     while stored < goal and attempts > 0:
+        if h_pos is None or buf_cap < goal + cap * n_dev:
+            buf_cap = goal + cap * n_dev
+            h_pos = _grow(h_pos, stored, (buf_cap, 3), np.float32)
+            h_pow = _grow(h_pow, stored, (buf_cap, 3), np.float16)
+            h_dir = _grow(h_dir, stored, (buf_cap,), np.int32)
         key, sub = jax.random.split(key)
         if mesh is None:
             bp, bw, bd, cnt = emit_round(scene, cfg, sub, counts, map_type,
                                          cap)
-            per_dev = [min(int(cnt), cap)]
+            per_dev = [int(cnt)]
         else:
             from ..parallel.photon import emit_round_sharded
             bp, bw, bd, cnts = emit_round_sharded(scene, cfg, sub, counts,
                                                   map_type, cap, mesh)
-            per_dev = [min(int(c), cap) for c in np.asarray(cnts)]
+            per_dev = [int(c) for c in np.asarray(cnts)]
+        if any(n > cap for n in per_dev):
+            # Buffer overflow: scattering dropped stores past `cap`, which
+            # would dim-bias photon_power = total_power/emitted.  Discard
+            # the WHOLE round (its emissions count for nothing) and retry
+            # with a doubled cap — exact, and rare enough that the extra
+            # compile does not matter.
+            overflow_rounds += 1
+            if overflow_rounds > 6:
+                raise RuntimeError(
+                    f"photon round overflows cap {cap} even after "
+                    f"{overflow_rounds - 1} doublings")
+            cap_factor *= 2
+            counts, R, cap = _setup(_SIZES[size_i], cap_factor)
+            continue
         emitted += R * n_dev
         round_stored = 0
-        bp_h, bw_h, bd_h = np.asarray(bp), np.asarray(bw), np.asarray(bd)
-        for i, n in enumerate(per_dev):
+        if mesh is None:
+            n = per_dev[0]
             if n > 0:
-                lo_i = i * cap
-                pos_l.append(bp_h[lo_i:lo_i + n])
-                pow_l.append(bw_h[lo_i:lo_i + n])
-                dir_l.append(bd_h[lo_i:lo_i + n])
-                round_stored += n
+                p_, w_, d_ = _fetch_prefix((bp, bw, bd), 0, n, cap)
+                h_pos[stored:stored + n] = p_
+                h_pow[stored:stored + n] = w_
+                h_dir[stored:stored + n] = d_
+                round_stored = n
+        else:
+            bp_h, bw_h, bd_h = np.asarray(bp), np.asarray(bw), np.asarray(bd)
+            for i, n in enumerate(per_dev):
+                if n > 0:
+                    lo_i = i * cap
+                    dst = stored + round_stored
+                    h_pos[dst:dst + n] = bp_h[lo_i:lo_i + n]
+                    h_pow[dst:dst + n] = bw_h[lo_i:lo_i + n]
+                    h_dir[dst:dst + n] = bd_h[lo_i:lo_i + n]
+                    round_stored += n
         stored += round_stored
         if round_stored == 0:
             attempts -= 1
@@ -388,19 +467,25 @@ def trace_photon_map(scene: Scene, cfg: RenderConfig, key, map_type: int,
             while (size_i < len(_SIZES) - 1
                    and _SIZES[size_i] < need_emit / 2):
                 size_i += 1
-            counts, R, cap = _setup(_SIZES[size_i])
+            counts, R, cap = _setup(_SIZES[size_i], cap_factor)
     elapsed = time.time() - t0
 
     stats = dict(stored=stored, emitted=emitted, seconds=elapsed,
-                 photons_per_s=stored / max(elapsed, 1e-9))
+                 photons_per_s=stored / max(elapsed, 1e-9),
+                 overflow_rounds=overflow_rounds)
+    if stored < goal:
+        stats["warning"] = (f"photon map {map_type}: stored {stored} < goal "
+                            f"{goal} after exhausting emission attempts")
+        import sys
+        print(f"gi_tpu: warning: {stats['warning']}", file=sys.stderr)
     if stored == 0:
         return None, stats
 
-    pos = jnp.asarray(np.concatenate(pos_l))
-    dircode = jnp.asarray(np.concatenate(dir_l))
+    pos = jnp.asarray(h_pos[:stored])
+    dircode = jnp.asarray(h_dir[:stored])
     # power normalization (photonmap.cpp:341-357)
     photon_power = total_power / emitted
-    power = jnp.asarray(np.concatenate(pow_l) * photon_power)
+    power = jnp.asarray(h_pow[:stored].astype(np.float32) * photon_power)
 
     est_dist = (cfg.global_estimate_dist if map_type == MAP_GLOBAL
                 else cfg.caustic_estimate_dist)
@@ -408,8 +493,11 @@ def trace_photon_map(scene: Scene, cfg: RenderConfig, key, map_type: int,
                 else cfg.caustic_estimate_size)
     lo, hi = _scene_bbox(scene)
     cell_cap = max(64, 2 * est_size)
+    t0 = time.time()
     grid = build_grid(pos, power, dircode, jnp.ones((pos.shape[0],), bool),
                       lo, hi, est_dist, cell_cap)
+    jax.block_until_ready(grid.cell_start)
+    stats["build_s"] = time.time() - t0
 
     if verbose:
         print(f"  map {map_type}: stored={stored} emitted={emitted} "
@@ -453,10 +541,17 @@ def build_photon_maps(scene: Scene, cfg: RenderConfig, key,
     # flux + disk irradiance estimate at its position (photonmap.cpp:381-413)
     if cfg.irradiance_cache and global_grid is not None:
         own = global_grid.power.astype(jnp.float32)
-        if mesh is not None and int(mesh.devices.size) > 1:
+        n_stored = int(global_grid.pos.shape[0])
+        use_ring = (mesh is not None and int(mesh.devices.size) > 1
+                    and (cfg.shard_maps
+                         or n_stored > cfg.shard_maps_threshold))
+        if use_ring:
             # One query per stored photon — the heaviest flat gather batch
             # in the pipeline.  Keep the photon set sharded and answer the
-            # queries by ring-exchanging the shards (SURVEY §2.3 P8).
+            # queries by ring-exchanging the shards (SURVEY §2.3 P8).  The
+            # ring merge is all-pairs O(N^2/D), so it only wins over the
+            # local grid path once the map outgrows per-device replication
+            # (cfg.shard_maps_threshold) or sharding is forced.
             from ..parallel.gather import (estimate_irradiance_ring,
                                            shard_photons)
             d = int(mesh.devices.size)

@@ -96,6 +96,12 @@ class RenderConfig:
     save_maps: str | None = None      # checkpoint photon maps after build
     load_maps: str | None = None      # restore photon maps (skip tracing)
     trace_dir: str | None = None      # jax.profiler trace output directory
+    shard_maps: bool = False          # keep photon maps device-sharded and
+                                      # gather by ring exchange (P8) even for
+                                      # small maps
+    shard_maps_threshold: int = 10_000_000  # auto-shard maps above this many
+                                      # stored photons (replication is cheap
+                                      # below ~10M at 20 B/photon)
 
     def replace(self, **kw) -> "RenderConfig":
         return dataclasses.replace(self, **kw)
@@ -244,6 +250,8 @@ def parse_args(argv: list[str]) -> tuple[str, str | None, RenderConfig]:
             cfg["load_maps"] = next(it)
         elif arg == "-trace":
             cfg["trace_dir"] = next(it)
+        elif arg == "-shard_maps":
+            cfg["shard_maps"] = True
         else:
             raise SystemExit(f"Invalid program argument: {arg}")
 

@@ -285,3 +285,64 @@ def test_grid_sizing_large_scene_span():
     oracle = np.asarray(_estimate_chunk_brute(*args))
     assert np.abs(oracle).max() > 0  # queries found photons
     np.testing.assert_allclose(got, oracle, rtol=2e-4, atol=1e-6)
+
+
+def test_emit_round_overflow_detectable(cornell_scene):
+    """`count` keeps counting past the buffer cap (the scatter drops the
+    excess), so the host quota loop can detect an overflowed round and
+    discard it instead of silently dim-biasing photon_power."""
+    from gi_tpu.photon.trace import MAP_GLOBAL, emit_round
+    cfg = RenderConfig(max_photon_depth=16)
+    counts = (4096,)
+    cap = 128  # deliberately undersized: cornell stores >> 128 global photons
+    pos, power, code, cnt = emit_round(cornell_scene, cfg,
+                                       jax.random.PRNGKey(0), counts,
+                                       MAP_GLOBAL, cap)
+    assert int(cnt) > cap, "wanted-store count must survive the drop"
+    # every retained slot is a real store (finite position on a surface)
+    p = np.asarray(pos)
+    assert np.isfinite(p).all()
+    assert p.shape[0] == cap
+
+
+def test_quota_loop_overflow_retry(cornell_scene, monkeypatch):
+    """An undersized round buffer triggers the discard-and-double retry;
+    the resulting map meets the goal with unbiased photon power (the
+    discarded rounds' emissions count for nothing)."""
+    from gi_tpu.photon import trace as T
+
+    cfg = RenderConfig(global_photon_count=3000, max_photon_depth=16)
+    ref_grid, ref_stats = T.trace_photon_map(
+        cornell_scene, cfg, jax.random.PRNGKey(7), T.MAP_GLOBAL)
+    assert ref_stats["overflow_rounds"] == 0
+
+    monkeypatch.setitem(T._CAP_FACTOR, T.MAP_GLOBAL, 0.05)
+    grid, stats = T.trace_photon_map(
+        cornell_scene, cfg, jax.random.PRNGKey(7), T.MAP_GLOBAL)
+    assert stats["overflow_rounds"] >= 1
+    assert stats["stored"] >= 3000
+
+    # unbiasedness proxy: mean per-photon flux matches the clean run
+    # (photon_power = total_power / emitted must not be diluted by drops)
+    m_ref = float(jnp.mean(jnp.sum(ref_grid.power.astype(jnp.float32), -1)))
+    m_ovf = float(jnp.mean(jnp.sum(grid.power.astype(jnp.float32), -1)))
+    assert abs(m_ovf - m_ref) / m_ref < 0.12
+
+
+def test_quota_loop_shortfall_warning(monkeypatch, capsys):
+    """A scene whose walks cannot store (no diffuse surfaces) surfaces
+    `stored < goal` as a warning in stats instead of failing silently."""
+    from gi_tpu.photon import trace as T
+    from gi_tpu.scene.scn import load_scene
+    import os
+    scene = load_scene(os.path.join("/root/reference/input", "cornell.scn"))
+    # pure-specular world: zero out kd so GLOBAL stores never happen
+    mats = scene.materials
+    scene = scene.replace(materials=mats.replace(
+        kd=jnp.zeros_like(mats.kd), kt=jnp.zeros_like(mats.kt)))
+    cfg = RenderConfig(global_photon_count=1000, max_photon_depth=4)
+    grid, stats = T.trace_photon_map(scene, cfg, jax.random.PRNGKey(0),
+                                     T.MAP_GLOBAL)
+    assert grid is None
+    assert stats["stored"] == 0
+    assert "warning" in stats and "stored 0 < goal 1000" in stats["warning"]

@@ -103,31 +103,61 @@ def test_ring_radiance_matches_replicated():
 
 
 def test_cache_precompute_sharded_matches_local(cornell_scene):
-    """build_photon_maps(mesh=...) + -cache runs the ring-exchange
-    precompute; the resulting cached map must match the single-device one."""
+    """The ring-exchange irradiance-cache precompute must match the local
+    precompute run on the SAME traced photon set — exact equality (up to
+    f32 merge-order rounding), not a statistical gate."""
+    from gi_tpu.photon.trace import MAP_GLOBAL, trace_photon_map
+
+    cfg = RenderConfig(global_photon_count=2000, global_estimate_size=16,
+                       global_estimate_dist=0.8, max_photon_depth=16)
+    grid, _ = trace_photon_map(cornell_scene, cfg, jax.random.PRNGKey(7),
+                               MAP_GLOBAL)
+    K, dist = cfg.global_estimate_size, cfg.global_estimate_dist
+    n = grid.pos.shape[0]
+
+    # exact local oracle: rebuild the grid with a cell cap big enough that
+    # no cell decimates, so the 27-cell window is exact kNN
+    lo = np.asarray(grid.pos).min(0)
+    hi = np.asarray(grid.pos).max(0)
+    exact = build_grid(grid.pos, grid.power.astype(jnp.float32),
+                       grid.dir_code, grid.valid, lo, hi, dist,
+                       cell_cap=n)
+    want = np.asarray(estimate_irradiance(exact, grid.pos, K, dist))
+
+    mesh = device_mesh(8, platform="cpu")
+    sharded = shard_photons(grid.pos, grid.power.astype(jnp.float32),
+                            grid.dir_code, grid.valid, mesh)
+    qpad = -(-n // 8) * 8
+    q = jnp.pad(grid.pos, ((0, qpad - n), (0, 0)))
+    got = np.asarray(estimate_irradiance_ring(sharded, q, K, dist, mesh))[:n]
+    np.testing.assert_allclose(got, want, rtol=5e-4, atol=1e-5)
+
+
+def test_build_photon_maps_ring_cache_wiring(cornell_scene, monkeypatch):
+    """cfg.shard_maps forces build_photon_maps(mesh=...) through the
+    ring-exchange precompute; without it a small map stays on the cheaper
+    local path (the ring merge is all-pairs O(N^2/D))."""
+    from gi_tpu.parallel import gather as PG
     from gi_tpu.photon.trace import build_photon_maps
 
-    cfg = RenderConfig(indirect_illum=True, caustic_illum=False,
-                       direct_photon_illum=True, irradiance_cache=True,
-                       global_photon_count=2000, global_estimate_size=16,
-                       global_estimate_dist=0.8, max_photon_depth=16)
-    key = jax.random.PRNGKey(7)
-    maps_local, _ = build_photon_maps(cornell_scene, cfg, key)
-    mesh = device_mesh(8, platform="cpu")
-    maps_mesh, _ = build_photon_maps(cornell_scene, cfg, key, mesh=mesh)
+    calls = []
+    real = PG.estimate_irradiance_ring
 
-    a = maps_local.global_
-    b = maps_mesh.global_
-    # Different tracing distribution (per-device streams) => different
-    # photon sets; so instead check the mesh cache against a local
-    # recompute of the SAME photon set.
-    own = b.power.astype(jnp.float32)
-    # undo the cache add to recover the traced flux: recompute from scratch
-    # via the exact estimator on b's photons is not possible post-hoc, so
-    # assert statistically: cached powers are finite, positive-mean, and
-    # the two builds' mean cached irradiance agree within Monte Carlo noise.
-    assert np.all(np.isfinite(np.asarray(own)))
-    ma = float(jnp.mean(a.power.astype(jnp.float32)))
-    mb = float(jnp.mean(own))
-    assert ma > 0 and mb > 0
-    assert abs(ma - mb) / max(ma, mb) < 0.35
+    def spy(*a, **kw):
+        calls.append(1)
+        return real(*a, **kw)
+
+    monkeypatch.setattr(PG, "estimate_irradiance_ring", spy)
+    mesh = device_mesh(8, platform="cpu")
+    cfg = RenderConfig(indirect_illum=True, caustic_illum=False,
+                       irradiance_cache=True, global_photon_count=1000,
+                       global_estimate_size=16, global_estimate_dist=0.8,
+                       max_photon_depth=16)
+    maps, _ = build_photon_maps(cornell_scene, cfg, jax.random.PRNGKey(3),
+                                mesh=mesh)
+    assert maps.global_ is not None and not calls  # small map: local path
+
+    maps2, _ = build_photon_maps(cornell_scene,
+                                 cfg.replace(shard_maps=True),
+                                 jax.random.PRNGKey(3), mesh=mesh)
+    assert maps2.global_ is not None and calls  # forced: ring path
