@@ -7,6 +7,7 @@ supersampled AA, write the image — with the reference's `-v` statistics.
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
@@ -19,6 +20,15 @@ def main(argv=None):
     # JAX call touches the XLA backend).
     from .parallel.dist import initialize as dist_initialize
     dist_initialize()
+
+    # Persistent compilation cache: the big render/trace programs compile
+    # for minutes (XLA:TPU through the tunnel; CPU fallback too) but are
+    # stable across runs — cache them per user.  JAX_COMPILATION_CACHE_DIR
+    # still wins if the user set one.
+    cache_dir = os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.expanduser("~"), ".cache", "gi_tpu", "jax"))
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
 
     from .models.render import render_image
     from .photon.trace import build_photon_maps

@@ -54,6 +54,66 @@ def _shadow_rays_per_light(scene: Scene, cfg: RenderConfig,
 
 
 @struct.dataclass
+class GatherQueue:
+    """Deferred photon-map radiance requests (P8 sharded-map render).
+
+    When photon maps are device-sharded, estimates inside the walk cannot
+    run where they arise: the ring-exchange gather is a collective, and
+    the walk's `while_loop` trip count is data-dependent per device.  The
+    estimates are additive leaf contributions (caustic per bounce, global
+    at walk termination), so they defer exactly: the walk scatters each
+    request (query geometry + BRDF + the color weight and output row of
+    its contribution) into this fixed-capacity queue by prefix-sum slot —
+    the same lock-free scheme as the photon store buffers — and ONE
+    batched ring gather per map answers them after the walk
+    (parallel/mesh.py::render_tile_mapsharded)."""
+    point: jnp.ndarray    # [C,3] query position
+    normal: jnp.ndarray   # [C,3]
+    bounce: jnp.ndarray   # [C,3] exact reflective bounce (Phong lobe axis)
+    ct: jnp.ndarray       # [C] cos_theta
+    kd: jnp.ndarray       # [C,3]
+    ks: jnp.ndarray       # [C,3]
+    shin: jnp.ndarray     # [C]
+    weight: jnp.ndarray   # [C,3] color += weight * estimate
+    row: jnp.ndarray      # [C] int32 output color row
+    count: jnp.ndarray    # [] int32 wanted requests (can exceed C)
+
+    @property
+    def cap(self) -> int:
+        return self.point.shape[0]
+
+
+def _empty_queue(cap: int) -> GatherQueue:
+    z3 = jnp.zeros((cap, 3))
+    z1 = jnp.zeros((cap,))
+    return GatherQueue(point=z3, normal=z3, bounce=z3, ct=z1, kd=z3, ks=z3,
+                       shin=z1, weight=z3,
+                       row=jnp.full((cap,), cap, jnp.int32),
+                       count=jnp.asarray(0, jnp.int32))
+
+
+def _enqueue(q: GatherQueue, want, point, normal, bounce, ct, kd, ks, shin,
+             weight, row) -> GatherQueue:
+    """Masked prefix-sum scatter of requests; slots past the cap drop (the
+    count keeps counting so overflow is detectable, like emit_round)."""
+    cap = q.cap
+    off = jnp.cumsum(want.astype(jnp.int32)) - 1
+    slot = jnp.where(want, q.count + off, cap)
+    wz = jnp.where(want[:, None], weight, 0.0)
+    return GatherQueue(
+        point=q.point.at[slot].set(point, mode="drop"),
+        normal=q.normal.at[slot].set(normal, mode="drop"),
+        bounce=q.bounce.at[slot].set(bounce, mode="drop"),
+        ct=q.ct.at[slot].set(ct, mode="drop"),
+        kd=q.kd.at[slot].set(kd, mode="drop"),
+        ks=q.ks.at[slot].set(ks, mode="drop"),
+        shin=q.shin.at[slot].set(shin, mode="drop"),
+        weight=q.weight.at[slot].set(wz, mode="drop"),
+        row=q.row.at[slot].set(row, mode="drop"),
+        count=q.count + jnp.sum(want, dtype=jnp.int32))
+
+
+@struct.dataclass
 class WalkState:
     key: jnp.ndarray
     o: jnp.ndarray        # [B,3] ray origin
@@ -64,6 +124,8 @@ class WalkState:
     color: jnp.ndarray    # [B,3] accumulated radiance
     depth: jnp.ndarray    # [] int32
     counters: jnp.ndarray  # [ST.N_COUNTERS] int32 dispatched-ray counters
+    cq: GatherQueue | None = None  # deferred caustic requests (sharded maps)
+    gq: GatherQueue | None = None  # deferred global-map requests
 
 
 def _bounce_eps(scene):
@@ -275,11 +337,17 @@ def mc_walk(scene: Scene, cfg: RenderConfig, key, o, d, weight, phase, alive,
 
     if cfg.differentiable:
         # reverse-mode AD can't differentiate while_loop; unroll to a
-        # fixed-trip scan (all-dead iterations are masked no-ops)
+        # fixed-trip scan (all-dead iterations are masked no-ops).  The
+        # trip count is capped by diff_monte_depth: at the reference
+        # default max_monte_depth=128 nearly every lane is dead by depth
+        # ~10 (Russian roulette), so running all 128 masked iterations
+        # costs ~4-20x for nothing.  Truncation bias at the default cap
+        # of 32 is P(alive at 32) ~ albedo^32 < 0.1% of walk energy.
+        depth = min(cfg.max_monte_depth, cfg.diff_monte_depth)
+
         def scan_body(s, _):
             return body(s), None
-        final, _ = jax.lax.scan(scan_body, state, None,
-                                length=cfg.max_monte_depth)
+        final, _ = jax.lax.scan(scan_body, state, None, length=depth)
     else:
         final = jax.lax.while_loop(cond, body, state)
     return final.color, final.counters

@@ -80,6 +80,24 @@ def uniform_sphere_dir(u1, u2):
     return jnp.stack([r * jnp.cos(th), r * jnp.sin(th), z], -1)
 
 
+def uniform_cone_dir(axis, cos_max, u1, u2):
+    """Unit vector uniform over the solid-angle cone of half-angle
+    acos(cos_max) around `axis` ([...,3] broadcastable).  cos_max = -1
+    degenerates to the uniform sphere (same marginal as
+    `uniform_sphere_dir`), which is how callers opt out of the cone.
+
+    Used by the caustic projection-map emission sampler
+    (photon/trace.py): Jensen's photon emission importance sampling, the
+    optimization the reference names but does not implement
+    (README.md:352)."""
+    z = 1.0 - u1 * (1.0 - cos_max)          # cos(theta) uniform in [cos_max,1]
+    r = jnp.sqrt(jnp.maximum(0.0, 1.0 - z * z))
+    th = TWO_PI * u2
+    u, v = onb(axis)
+    local = (r * jnp.cos(th))[..., None] * u + (r * jnp.sin(th))[..., None] * v
+    return local + z[..., None] * axis
+
+
 def _around_axis(axis, theta, phi):
     """Direction at polar angle theta from `axis`, azimuth phi, using the
     reference's perpendicular + rotate construction

@@ -148,6 +148,30 @@ def _chunked(point_like_args, chunk, fn):
     return out.reshape(-1, *out.shape[2:])[:B]
 
 
+def ring_radiance_queries(photons_shard, point, normal, exact_bounce,
+                          cos_theta, kd, ks, shin, estimate_size,
+                          estimate_dist, filter_type, cfg, n_dev: int,
+                          query_chunk: int = 512):
+    """EstimateRadiance over a sharded map, callable INSIDE an existing
+    shard_map body (uniform collectives: every device must call this the
+    same number of times with the same shapes).  `photons_shard` is this
+    device's resident shard (pos, flux, incident, valid); `point` etc. are
+    this device's local queries.  Used by estimate_radiance_ring below and
+    by the sharded-map deferred-gather render (parallel/mesh.py)."""
+    K = int(estimate_size)
+
+    def one_chunk(xs):
+        pt_, n_, eb_, ct_, kdc, ksc, shc = xs
+        td2, tfl, tin = _ring_topk(pt_, photons_shard, K, estimate_dist,
+                                   n_dev)
+        return finish_estimate_payload(
+            n_, eb_, ct_, kdc, ksc, shc, K, estimate_dist,
+            filter_type, cfg, td2, tfl, tin)
+
+    return _chunked((point, normal, exact_bounce, cos_theta, kd, ks, shin),
+                    query_chunk, one_chunk)
+
+
 def estimate_radiance_ring(photons, point, normal, exact_bounce, cos_theta,
                            kd, ks, shin, estimate_size, estimate_dist,
                            filter_type, cfg, mesh: Mesh,
@@ -161,17 +185,11 @@ def estimate_radiance_ring(photons, point, normal, exact_bounce, cos_theta,
     mesh size; returns radiance [B,3] sharded like the queries.
     """
     n_dev = int(mesh.devices.size)
-    K = int(estimate_size)
 
     def body(pp, pt, n, eb, ct, kd_, ks_, sh_):
-        def one_chunk(xs):
-            pt_, n_, eb_, ct_, kdc, ksc, shc = xs
-            td2, tfl, tin = _ring_topk(pt_, pp, K, estimate_dist, n_dev)
-            return finish_estimate_payload(
-                n_, eb_, ct_, kdc, ksc, shc, K, estimate_dist,
-                filter_type, cfg, td2, tfl, tin)
-        return _chunked((pt, n, eb, ct, kd_, ks_, sh_), query_chunk,
-                        one_chunk)
+        return ring_radiance_queries(pp, pt, n, eb, ct, kd_, ks_, sh_,
+                                     estimate_size, estimate_dist,
+                                     filter_type, cfg, n_dev, query_chunk)
 
     f = shard_map(body, mesh=mesh,
                   in_specs=(P(AXIS),) + (P(AXIS),) * 7,

@@ -67,6 +67,24 @@ class PhotonMaps:
     caustic: PhotonGrid | None
 
 
+@struct.dataclass
+class ShardedMaps:
+    """Photon maps for the P8 sharded-map render: `caustic`/`global_` are
+    device-sharded (pos, flux, incident, valid) tuples laid out P('rays')
+    by `parallel.gather.shard_photons`; the renderer defers their radiance
+    estimates into fixed-capacity request queues and answers them with the
+    ring-exchange gather after the walk (models/montecarlo.py,
+    parallel/mesh.py::render_tile_mapsharded).
+
+    `caustic_rep`/`global_rep` hold replicated PhotonGrids for layers that
+    cannot defer (the irradiance-cache nearest-sample lookup); a map is in
+    exactly one of the two slots."""
+    caustic: tuple | None
+    global_: tuple | None
+    caustic_rep: PhotonGrid | None = None
+    global_rep: PhotonGrid | None = None
+
+
 def build_grid(pos: jnp.ndarray, power: jnp.ndarray, dir_code: jnp.ndarray,
                valid: jnp.ndarray, bbox_lo: np.ndarray, bbox_hi: np.ndarray,
                cell_size: float, cell_cap: int,
@@ -84,6 +102,19 @@ def build_grid(pos: jnp.ndarray, power: jnp.ndarray, dir_code: jnp.ndarray,
         dims = tuple(int(x) for x in dims)
     nx, ny, nz = dims
     n_cells = nx * ny * nz
+
+    # Pad the photon count to the next power of two (invalid rows sort
+    # last, outside every cell): render programs specialize on the map
+    # size, so without bucketing every distinct stored count would trigger
+    # a full recompile of each gather-bearing render program.
+    n_in = pos.shape[0]
+    n_bucket = max(1024, 1 << int(np.ceil(np.log2(max(n_in, 1)))))
+    if n_bucket != n_in:
+        pad = n_bucket - n_in
+        pos = jnp.pad(pos, ((0, pad), (0, 0)))
+        power = jnp.pad(power, ((0, pad), (0, 0)))
+        dir_code = jnp.pad(dir_code, (0, pad))
+        valid = jnp.pad(valid, (0, pad))
 
     origin = jnp.asarray(np.asarray(bbox_lo, np.float32))
     inv_h = jnp.asarray(np.float32(1.0 / cell))
@@ -309,20 +340,18 @@ def _use_pallas_gather(grid: PhotonGrid) -> bool:
     return I._default_platform() == "tpu" and grid.pos.shape[0] >= 4096
 
 
-# Largest photon count for which the exact streaming-top-K path replaces
-# the decimated grid path in the jnp fallback.
-_BRUTE_MAX = 300_000
-
-
 def estimate_radiance(grid: PhotonGrid, point, normal, exact_bounce,
                       cos_theta, kd, ks, shin, estimate_size, estimate_dist,
                       filter_type, cfg, chunk: int = 2048):
     """Chunked EstimateRadiance over a query batch (bounded gather memory).
 
-    Dispatch: the streamed Pallas kernel on TPU (exact kNN, no decimation);
-    otherwise an exact brute-force streaming top-K for maps up to
-    _BRUTE_MAX photons; otherwise the 27-cell grid path whose fixed-capacity
-    cell reads decimate over-full cells (docs/DESIGN.md)."""
+    Dispatch: the streamed Pallas kernel on TPU; otherwise the exact
+    brute-force streaming top-K.  BOTH are exact kNN — the decimated
+    27-cell grid path (_estimate_chunk) is deliberately NOT used for
+    radiance estimates: its fixed-capacity cell reads overestimate sharply
+    non-uniform densities (measured ~1.6x at a 300k-photon caustic focus),
+    so the CPU fallback is slow-but-exact rather than fast-but-biased and
+    always agrees with the TPU render (docs/DESIGN.md)."""
     if _use_pallas_gather(grid):
         from ..ops import intersect as I
         from .pallas_gather import estimate_radiance_pallas
@@ -330,12 +359,8 @@ def estimate_radiance(grid: PhotonGrid, point, normal, exact_bounce,
             grid, point, normal, exact_bounce, cos_theta, kd, ks, shin,
             estimate_size, estimate_dist, filter_type, cfg,
             interpret=(I._PALLAS_MODE == "interpret"))
-    if grid.pos.shape[0] <= _BRUTE_MAX:
-        chunk_fn = _estimate_chunk_brute
-        chunk = min(chunk, 512)
-    else:
-        chunk_fn = _estimate_chunk
-        chunk = _auto_chunk(grid, chunk)
+    chunk_fn = _estimate_chunk_brute
+    chunk = min(chunk, 512)
     B = point.shape[0]
     if B <= chunk:
         return chunk_fn(grid, point, normal, exact_bounce, cos_theta,

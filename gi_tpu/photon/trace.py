@@ -64,9 +64,105 @@ def light_power(scene: Scene, i: int) -> float:
     return color_sum * area * flux
 
 
-def _emit_from_light(scene: Scene, i: int, kind: int, key, n: int):
+def _specular_bounding_sphere(scene: Scene):
+    """Bounding sphere (center [3], radius) of every specular/transmissive
+    primitive, or None when the scene has no such geometry.  Host-side,
+    conservative (bbox corners + primitive radii)."""
+    mats = scene.materials
+    spec = (np.asarray(mats.ks).sum(-1) + np.asarray(mats.kt).sum(-1)) > 0
+
+    pts = []
+
+    def take(mat_idx, *point_sets):
+        m = spec[np.asarray(mat_idx)]
+        if m.any():
+            for p in point_sets:
+                pts.append(np.asarray(p)[m])
+
+    t = scene.tris
+    if t.v0.shape[0]:
+        v0 = np.asarray(t.v0)
+        take(t.mat, v0, v0 + np.asarray(t.e1), v0 + np.asarray(t.e2))
+    s = scene.spheres
+    if s.center.shape[0]:
+        c = np.asarray(s.center)
+        r = np.asarray(s.radius)[:, None]
+        for d in np.concatenate([np.eye(3), -np.eye(3)]):
+            take(s.mat, c + r * d)
+    b = scene.boxes
+    if b.lo.shape[0]:
+        lo, hi = np.asarray(b.lo), np.asarray(b.hi)
+        both = np.stack([lo, hi])                     # [2,N,3]
+        corners = [np.stack([both[i, :, 0], both[j, :, 1], both[k, :, 2]], 1)
+                   for i in range(2) for j in range(2) for k in range(2)]
+        take(b.mat, *corners)
+    for prim in (scene.cylinders, scene.cones):
+        if prim.p0.shape[0]:
+            r = np.asarray(prim.radius)[:, None]
+            take(prim.mat,
+                 np.asarray(prim.p0) - r, np.asarray(prim.p0) + r,
+                 np.asarray(prim.p1) - r, np.asarray(prim.p1) + r)
+    cc = scene.circles
+    if cc.center.shape[0]:
+        r = np.asarray(cc.radius)[:, None]
+        take(cc.mat, np.asarray(cc.center) - r, np.asarray(cc.center) + r)
+
+    if not pts:
+        return None
+    allp = np.concatenate(pts)
+    center = (allp.min(axis=0) + allp.max(axis=0)) / 2.0
+    radius = float(np.sqrt(((allp - center) ** 2).sum(-1).max()))
+    return center, radius
+
+
+def _emission_cones(scene: Scene, map_type: int):
+    """Caustic projection map (Jensen's photon emission importance
+    sampling — the optimization the reference names but leaves on the
+    table, README.md:352): a caustic photon's FIRST hit must be
+    specular/transmissive (the walk dies unstored at a first diffuse
+    hit, photontracer.cpp:116-139), so point-light emission directions
+    outside the bounding cone of all specular geometry contribute
+    exactly zero stores.  Restricting emission to that cone and counting
+    each real photon as 1/coverage virtual emissions is therefore EXACT,
+    and turns the dominant cost of dense caustic maps (rejected
+    emissions) into useful work.
+
+    Returns (axis [L,3] f32, cos_max [L] f32, coverage [L] float64):
+    cos_max = -1 / coverage = 1 means full-sphere (non-point lights,
+    global maps, light inside the bound)."""
+    L = scene.n_lights
+    axes = np.tile(np.asarray([0.0, 0.0, 1.0], np.float32), (L, 1))
+    cosm = np.full((L,), -1.0, np.float32)
+    cover = np.ones((L,), np.float64)
+    if map_type != MAP_CAUSTIC:
+        return axes, cosm, cover
+    bound = _specular_bounding_sphere(scene)
+    if bound is None:
+        return axes, cosm, cover
+    c, r = bound
+    r += 1e-3 * float(scene.radius)
+    for i, kind in enumerate(scene.lights.kind):
+        if kind != LIGHT_POINT:
+            continue
+        p = np.asarray(scene.lights.position[i], np.float64)
+        d = float(np.linalg.norm(c - p))
+        if d <= r:
+            continue  # light inside the bound: full sphere
+        axes[i] = ((c - p) / d).astype(np.float32)
+        cos_max = float(np.sqrt(max(0.0, 1.0 - (r / d) ** 2)))
+        cosm[i] = np.float32(cos_max)
+        cover[i] = (1.0 - cos_max) / 2.0
+    return axes, cosm, cover
+
+
+def _emit_from_light(scene: Scene, i: int, kind: int, key, n: int,
+                     cone_axis=None, cone_cos=None):
     """Emission sampler for light i -> (origins [n,3], dirs [n,3]).
-    Mirrors EmitPhotons per light class (photontracer.cpp:182-363)."""
+    Mirrors EmitPhotons per light class (photontracer.cpp:182-363).
+
+    `cone_axis[i]`/`cone_cos[i]` restrict point-light emission to a
+    bounding cone of the scene's specular geometry (caustic projection
+    map — see _emission_cones); cone_cos = -1 is the full sphere."""
     lt = scene.lights
     u = jax.random.uniform(key, (n, 6))
     eps = 1e-4 * scene.radius
@@ -81,7 +177,11 @@ def _emit_from_light(scene: Scene, i: int, kind: int, key, n: int):
         d = jnp.broadcast_to(norm, o.shape)
     elif kind == LIGHT_POINT:
         o = jnp.broadcast_to(lt.position[i], (n, 3))
-        d = S.uniform_sphere_dir(u[:, 0], u[:, 1])
+        if cone_axis is None:
+            d = S.uniform_sphere_dir(u[:, 0], u[:, 1])
+        else:
+            d = S.uniform_cone_dir(cone_axis[i], cone_cos[i],
+                                   u[:, 0], u[:, 1])
     elif kind == LIGHT_SPOT:
         # Phong-lobe around the axis, rejection against the cutoff with a
         # "cheat" fallback (photontracer.cpp:258-286): the reference draws
@@ -126,11 +226,17 @@ def _emit_from_light(scene: Scene, i: int, kind: int, key, n: int):
 
 @partial(jax.jit, static_argnames=("cfg", "counts", "map_type", "cap"))
 def emit_round(scene: Scene, cfg: RenderConfig, key, counts: tuple,
-               map_type: int, cap: int):
+               map_type: int, cap: int, cone_axis=None, cone_cos=None,
+               weight=None):
     """Trace one emission round.
 
-    counts[i] photons from light i (static).  Returns
-    (pos [cap,3], power [cap,3], dir_code [cap], n_stored, n_live_steps).
+    counts[i] photons from light i (static).  `cone_axis [L,3]`,
+    `cone_cos [L]`, `weight [L]` come from _emission_cones: point-light
+    caustic emission restricted to the specular bounding cone, with
+    `weight` folding the per-light virtual-emission share into the
+    initial photon power so the host's single global power normalization
+    stays exact.  Returns (pos [cap,3], power [cap,3], dir_code [cap],
+    n_wanted_stores) — n_wanted_stores can exceed cap (overflow detect).
     """
     os_, ds_, ps_ = [], [], []
     for i, kind in enumerate(scene.lights.kind):
@@ -138,9 +244,13 @@ def emit_round(scene: Scene, cfg: RenderConfig, key, counts: tuple,
         if n == 0:
             continue
         key, sub = jax.random.split(key)
-        o, d = _emit_from_light(scene, i, kind, sub, n)
+        o, d = _emit_from_light(scene, i, kind, sub, n, cone_axis, cone_cos)
         # photon power = L1-normalized light color (photontracer.cpp:188-189)
-        p = jnp.broadcast_to(S.normalize_color(scene.lights.color[i]), (n, 3))
+        # scaled by the projection-map emission weight
+        p0 = S.normalize_color(scene.lights.color[i])
+        if weight is not None:
+            p0 = p0 * weight[i]
+        p = jnp.broadcast_to(p0, (n, 3))
         os_.append(o)
         ds_.append(d)
         ps_.append(p)
@@ -375,12 +485,28 @@ def trace_photon_map(scene: Scene, cfg: RenderConfig, key, map_type: int,
     if plat != "tpu":
         _SIZES = _SIZES[:4]
 
+    # Caustic projection-map emission: per-light bounding cone of the
+    # specular geometry + coverage fraction (exact — see _emission_cones).
+    cone_axis_np, cone_cos_np, cover = _emission_cones(scene, map_type)
+    cone_axis = jnp.asarray(cone_axis_np)
+    cone_cos = jnp.asarray(cone_cos_np)
+
     def _setup(round_size, cap_factor):
         counts = [int(round(round_size * p / total_power)) for p in powers]
         counts = [max(1, c) if p > 0 else 0
                   for c, p in zip(counts, powers)]
         counts = tuple(counts)
-        return counts, sum(counts), max(1, int(cap_factor * sum(counts)))
+        # virtual (full-sphere-equivalent) emissions per round, per light:
+        # each cone-restricted photon stands for 1/coverage emissions
+        e_l = [n / f for n, f in zip(counts, cover)]
+        e_tot = float(sum(e_l))
+        # fold each light's virtual-emission share into its photons'
+        # initial power so one global photon_power = total/emitted works:
+        # final per-photon power must be power_l * coverage_l / counts_l
+        w = [(p / total_power) * (e_tot / e) if n > 0 else 0.0
+             for p, n, e in zip(powers, counts, e_l)]
+        return (counts, sum(counts), max(1, int(cap_factor * sum(counts))),
+                e_tot, jnp.asarray(w, jnp.float32))
 
     # A caustic walk dies at its first diffuse store (photontracer.cpp:116-
     # 139) so stores/emitted rarely exceeds 1; global walks store at every
@@ -391,7 +517,7 @@ def trace_photon_map(scene: Scene, cfg: RenderConfig, key, map_type: int,
     want = max(4096, goal // 4)
     while size_i < len(_SIZES) - 1 and _SIZES[size_i] < want:
         size_i += 1
-    counts, R, cap = _setup(_SIZES[size_i], cap_factor)
+    counts, R, cap, e_round, weight = _setup(_SIZES[size_i], cap_factor)
 
     n_dev = int(mesh.devices.size) if mesh is not None else 1
 
@@ -402,7 +528,8 @@ def trace_photon_map(scene: Scene, cfg: RenderConfig, key, map_type: int,
     buf_cap = 0
     h_pos = h_pow = h_dir = None
     stored = 0
-    emitted = 0
+    emitted = 0.0       # virtual (full-sphere-equivalent) emissions
+    emitted_real = 0    # photons actually traced (drives rung escalation)
     attempts = 40
     overflow_rounds = 0
     t0 = time.time()
@@ -415,12 +542,14 @@ def trace_photon_map(scene: Scene, cfg: RenderConfig, key, map_type: int,
         key, sub = jax.random.split(key)
         if mesh is None:
             bp, bw, bd, cnt = emit_round(scene, cfg, sub, counts, map_type,
-                                         cap)
+                                         cap, cone_axis, cone_cos, weight)
             per_dev = [int(cnt)]
         else:
             from ..parallel.photon import emit_round_sharded
             bp, bw, bd, cnts = emit_round_sharded(scene, cfg, sub, counts,
-                                                  map_type, cap, mesh)
+                                                  map_type, cap, mesh,
+                                                  cone_axis, cone_cos,
+                                                  weight)
             per_dev = [int(c) for c in np.asarray(cnts)]
         if any(n > cap for n in per_dev):
             # Buffer overflow: scattering dropped stores past `cap`, which
@@ -434,9 +563,11 @@ def trace_photon_map(scene: Scene, cfg: RenderConfig, key, map_type: int,
                     f"photon round overflows cap {cap} even after "
                     f"{overflow_rounds - 1} doublings")
             cap_factor *= 2
-            counts, R, cap = _setup(_SIZES[size_i], cap_factor)
+            counts, R, cap, e_round, weight = _setup(_SIZES[size_i],
+                                                     cap_factor)
             continue
-        emitted += R * n_dev
+        emitted += e_round * n_dev
+        emitted_real += R * n_dev
         round_stored = 0
         if mesh is None:
             n = per_dev[0]
@@ -462,15 +593,17 @@ def trace_photon_map(scene: Scene, cfg: RenderConfig, key, map_type: int,
         elif stored < goal and size_i < len(_SIZES) - 1:
             # escalate the round size to what the measured efficiency says
             # the remaining quota needs (in one or a few rounds)
-            eff = stored / max(emitted, 1)
+            eff = stored / max(emitted_real, 1)
             need_emit = (goal - stored) / max(eff, 1e-9) / n_dev
             while (size_i < len(_SIZES) - 1
                    and _SIZES[size_i] < need_emit / 2):
                 size_i += 1
-            counts, R, cap = _setup(_SIZES[size_i], cap_factor)
+            counts, R, cap, e_round, weight = _setup(_SIZES[size_i],
+                                                     cap_factor)
     elapsed = time.time() - t0
 
-    stats = dict(stored=stored, emitted=emitted, seconds=elapsed,
+    stats = dict(stored=stored, emitted=emitted,
+                 emitted_real=emitted_real, seconds=elapsed,
                  photons_per_s=stored / max(elapsed, 1e-9),
                  overflow_rounds=overflow_rounds)
     if stored < goal:

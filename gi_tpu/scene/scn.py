@@ -506,11 +506,33 @@ def compile_scene(b: _Builder) -> Scene:
                 lights[key][i] = l[key]
 
     if b.camera is None:
-        # reference default camera (R3Camera.cpp:15-19)
-        b.camera = dict(eye=np.zeros(3), towards=np.array([0.0, 1.0, 0.0]),
-                        up=np.array([0.0, 0.0, 1.0]),
-                        right=np.array([1.0, 0.0, 0.0]),
-                        xfov=0.5, yfov=0.5, neardist=0.01, fardist=100.0)
+        # The reference replaces the default camera with a bbox-fitted one
+        # after reading any scene file (R3Scene.cpp:558-566): towards
+        # (0,0,-1), up (0,1,0), eye = center - 3*radius*towards, fov 0.25.
+        pts = [np.asarray(v) for t in b.tris_v for v in t[:3]]
+        for c, r, _ in b.spheres:
+            pts += [np.asarray(c) - r, np.asarray(c) + r]
+        for lo, hi, _ in b.boxes:
+            pts += [np.asarray(lo), np.asarray(hi)]
+        for p0, p1, r, _ in b.cylinders + b.cones:
+            pts += [np.asarray(p0) - r, np.asarray(p0) + r,
+                    np.asarray(p1) - r, np.asarray(p1) + r]
+        for c, _n, r, _ in b.circles:
+            pts += [np.asarray(c) - r, np.asarray(c) + r]
+        if pts:
+            allp = np.stack(pts)
+            lo, hi = allp.min(axis=0), allp.max(axis=0)
+        else:
+            lo = hi = np.zeros(3)
+        center = 0.5 * (lo + hi)
+        radius = max(float(np.linalg.norm(hi - lo)) * 0.5, 1e-3)
+        towards = np.array([0.0, 0.0, -1.0])
+        up = np.array([0.0, 1.0, 0.0])
+        b.camera = dict(eye=center - 3.0 * radius * towards,
+                        towards=towards, up=up,
+                        right=np.cross(towards, up),
+                        xfov=0.25, yfov=0.25, neardist=0.01 * radius,
+                        fardist=100.0 * radius)
 
     return build_scene(
         tris_np=pack_tris(),

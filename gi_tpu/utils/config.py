@@ -91,6 +91,9 @@ class RenderConfig:
     seed: int = 0
     use_pallas: str = "auto"          # "auto" | "always" | "never"
     differentiable: bool = False      # fixed-trip scan walk (reverse-mode AD)
+    diff_monte_depth: int = 32        # walk-depth cap in differentiable mode
+                                      # (the scan pays every masked trip;
+                                      # RR kills ~all lanes far earlier)
     vis_softness: float = 0.0         # >0 + differentiable: smooth shadow
                                       # visibility (ops.intersect.soft_visibility)
     save_maps: str | None = None      # checkpoint photon maps after build

@@ -49,6 +49,11 @@ def _reference_render(scene_name, out, res, extra_flags):
     "dirlight1.scn",
     "spotlight1.scn",
     "transform.scn",     # transform groups + dir lights
+    "stilllife.scn",     # 5 OFF meshes + box under transforms + 4 point
+                         # lights: OFF IO + world-space fold + normal
+                         # orientation + BVH triangle order end-to-end
+                         # (R3Scene.cpp:1360-1395, R3Isect.cpp:761-833)
+    "ico.scn",           # bare mesh + default material
 ])
 def test_direct_deterministic_allclose(scene_name, tmp_path):
     _ensure_reference_binary()
@@ -70,3 +75,53 @@ def test_direct_deterministic_allclose(scene_name, tmp_path):
     assert diff.mean() < 5e-3, f"mean diff {diff.mean()}"
     assert (diff > 0.05).mean() < 0.01, \
         f"{(diff > 0.05).mean():.4%} pixels off by >0.05"
+
+
+def test_full_pipeline_jensen_golden(tmp_path):
+    """The reference's PRODUCT config — every layer at once on jensen.scn
+    (`make jensen`, Makefile:58-61; README.md:398-403): direct with rect-
+    light soft shadows, Monte Carlo transmissive+specular through the
+    glass and mirror spheres (Fresnel reassignment between them), indirect
+    final gather against the global map, and the caustic layer.
+
+    Layer-wise golden parity does not compose automatically (layer gating
+    interactions, the accumulator-rescale quirk across lights,
+    Fresnel transmission->specular reassignment), so this converged-mean
+    comparison is the product-level gate."""
+    import jax
+    from gi_tpu.photon.trace import build_photon_maps
+
+    _ensure_reference_binary()
+    res = 32
+    flags = ["-global", "8000", "-caustic", "60000", "-it", "32",
+             "-md", "5", "-pd", "5", "-gs", "30", "-gd", "1.5",
+             "-cs", "60", "-cd", "0.5", "-lt", "24", "-ss", "24",
+             "-tt", "8", "-st", "8"]
+    ref = _reference_render("jensen.scn", str(tmp_path / "ref.png"), res,
+                            flags)
+
+    scene = load_scene(os.path.join(SCN, "jensen.scn"))
+    cfg = RenderConfig(width=res, height=res, aa=0,
+                       global_photon_count=8000, caustic_photon_count=60000,
+                       indirect_test=32, max_monte_depth=5,
+                       max_photon_depth=5, global_estimate_size=30,
+                       global_estimate_dist=1.5, caustic_estimate_size=60,
+                       caustic_estimate_dist=0.5, light_test=24,
+                       shadow_test=24, transmissive_test=8, specular_test=8,
+                       ray_tile=1024)
+    maps, cfg = build_photon_maps(scene, cfg, jax.random.PRNGKey(11))
+    img = render_image(scene, cfg, photon_maps=maps)
+    write_image(img, str(tmp_path / "ours.png"))
+    ours = read_image(str(tmp_path / "ours.png"))
+
+    d = np.abs(ref - ours)
+    assert abs(ref.mean() - ours.mean()) < 0.025, \
+        f"image means: ref {ref.mean():.4f} vs ours {ours.mean():.4f}"
+    assert d.mean() < 0.05, f"mean abs diff {d.mean():.4f}"
+    # localized gate: no quadrant-sized energy error can hide in the mean
+    H = res // 2
+    for ys in (slice(0, H), slice(H, None)):
+        for xs in (slice(0, H), slice(H, None)):
+            rq, oq = ref[ys, xs].mean(), ours[ys, xs].mean()
+            assert abs(rq - oq) < 0.04, \
+                f"quadrant {ys},{xs}: ref {rq:.4f} vs ours {oq:.4f}"

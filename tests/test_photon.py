@@ -346,3 +346,70 @@ def test_quota_loop_shortfall_warning(monkeypatch, capsys):
     assert grid is None
     assert stats["stored"] == 0
     assert "warning" in stats and "stored 0 < goal 1000" in stats["warning"]
+
+
+_CONE_SCN = """\
+camera 0 1 -3   0 0 1   0 1 0   0.4   0.01 100
+point_light 1 1 1   0 2 0   0 0 1
+material 0 0 0   0 0 0   0 0 0   1 1 1   0 0 0   1000 1.4 0
+material 0 0 0   1 1 1   0 0 0   0 0 0   0 0 0   10 1 0
+sphere 0   0 1 0   0.45
+box 1   -2 -0.5 -2   2 0 2
+"""
+
+
+@pytest.fixture(scope="module")
+def cone_scene(tmp_path_factory):
+    from gi_tpu.scene.scn import load_scene
+    p = tmp_path_factory.mktemp("cone") / "cone.scn"
+    p.write_text(_CONE_SCN)
+    return load_scene(str(p))
+
+
+def test_emission_cone_covers_specular_first_hits(cone_scene):
+    """Every direction whose first hit is specular must lie inside the
+    projection cone (the exactness condition for caustic emission
+    importance sampling)."""
+    from gi_tpu.ops.intersect import intersect_scene
+    from gi_tpu.photon import trace as T
+
+    axes, cosm, cover = T._emission_cones(cone_scene, T.MAP_CAUSTIC)
+    assert cover[0] < 0.1, "cone must be much tighter than the sphere"
+
+    rng = np.random.default_rng(0)
+    d = rng.normal(size=(20000, 3))
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    o = np.broadcast_to(np.asarray(cone_scene.lights.position[0]), d.shape)
+    hit = intersect_scene(cone_scene, jnp.asarray(o, jnp.float32),
+                          jnp.asarray(d, jnp.float32))
+    kt = np.asarray(cone_scene.materials.kt)[np.asarray(hit.mat)]
+    spec_first = np.asarray(hit.valid) & (kt.sum(-1) > 0)
+    in_cone = (d @ axes[0]) >= float(cosm[0]) - 1e-6
+    assert spec_first.sum() > 100
+    assert np.all(in_cone[spec_first]), \
+        f"{(~in_cone[spec_first]).sum()} specular first hits outside cone"
+
+
+def test_caustic_cone_emission_unbiased(cone_scene, monkeypatch):
+    """Cone-restricted caustic emission conserves total stored flux vs
+    full-sphere emission (virtual-emission accounting is exact) while
+    storing far more photons per traced walk."""
+    from gi_tpu.photon import trace as T
+
+    cfg = RenderConfig(caustic_photon_count=20000, max_photon_depth=32)
+    grid_c, st_c = T.trace_photon_map(cone_scene, cfg, jax.random.PRNGKey(1),
+                                      T.MAP_CAUSTIC)
+    flux_c = float(np.asarray(grid_c.power.astype(jnp.float32)).sum())
+
+    real_cones = T._emission_cones
+    monkeypatch.setattr(T, "_emission_cones",
+                        lambda s, m: real_cones(s, T.MAP_GLOBAL))
+    grid_f, st_f = T.trace_photon_map(cone_scene, cfg, jax.random.PRNGKey(1),
+                                      T.MAP_CAUSTIC)
+    flux_f = float(np.asarray(grid_f.power.astype(jnp.float32)).sum())
+
+    eff_c = st_c["stored"] / st_c["emitted_real"]
+    eff_f = st_f["stored"] / st_f["emitted_real"]
+    assert eff_c > 5 * eff_f, f"cone eff {eff_c:.3f} vs full {eff_f:.3f}"
+    assert abs(flux_c - flux_f) / flux_f < 0.05, \
+        f"flux {flux_c:.4f} vs {flux_f:.4f}"
