@@ -133,14 +133,42 @@ def _bounce_eps(scene):
 
 
 def mc_walk(scene: Scene, cfg: RenderConfig, key, o, d, weight, phase, alive,
-            photon_maps) -> jnp.ndarray:
-    """Run the wavefront walk; returns accumulated color [B,3]."""
+            photon_maps, out_row=None, out_scale=None,
+            queue_caps: tuple | None = None):
+    """Run the wavefront walk; returns (color [B,3], counters) — plus the
+    deferred-gather queues when `photon_maps` is a ShardedMaps.
+
+    In deferred mode a lane's photon-map contributions land at color row
+    `out_row[lane]` scaled by `out_scale[lane]` (shade_secondary folds its
+    per-group total_w/ns averaging in here so requests scatter straight to
+    primary-ray rows); both default to identity."""
+    from ..photon.gather import ShardedMaps
+
     B = o.shape[0]
+    defer = isinstance(photon_maps, ShardedMaps)
+    if defer:
+        caustic_grid = photon_maps.caustic_rep
+        global_grid = photon_maps.global_rep
+        defer_caustic = photon_maps.caustic is not None
+        defer_global = photon_maps.global_ is not None
+    else:
+        caustic_grid = photon_maps.caustic if photon_maps is not None else None
+        global_grid = photon_maps.global_ if photon_maps is not None else None
+        defer_caustic = defer_global = False
+    if defer:
+        if out_row is None:
+            out_row = jnp.arange(B, dtype=jnp.int32)
+        if out_scale is None:
+            out_scale = jnp.ones((B, 3))
+        cap_c, cap_g = queue_caps if queue_caps is not None else (2 * B, B)
+
     state = WalkState(
         key=key, o=o, d=d, weight=weight,
         phase=phase.astype(jnp.int32), alive=alive,
         color=jnp.zeros((B, 3)), depth=jnp.asarray(0, jnp.int32),
-        counters=jnp.zeros((ST.N_COUNTERS,), jnp.int32))
+        counters=jnp.zeros((ST.N_COUNTERS,), jnp.int32),
+        cq=_empty_queue(cap_c) if defer_caustic else None,
+        gq=_empty_queue(cap_g) if defer_global else None)
 
     mc_shadow_factor = _shadow_rays_per_light(scene, cfg, in_monte_carlo=True)
 
@@ -179,18 +207,19 @@ def mc_walk(scene: Scene, cfg: RenderConfig, key, o, d, weight, phase, alive,
         in_path = live & (s.phase == PHASE_PATH)
 
         # ---- per-bounce shading for PathTrace lanes --------------------
+        cq = s.cq
+        gq = s.gq
         if cfg.monte_carlo:
             buffer = jnp.zeros((B, 3))
             if cfg.ambient:
-                buffer = buffer + scene.background * 0.0 + scene.ambient
+                buffer = buffer + scene.ambient
             key, k_direct = jax.random.split(key)
             buffer = shade_direct(scene, cfg, k_direct, hit, s.o, buffer,
                                   in_monte_carlo=True)
-            if cfg.caustic_illum and photon_maps is not None \
-                    and photon_maps.caustic is not None:
+            if cfg.caustic_illum and caustic_grid is not None:
                 exact = S.reflective_bounce(hit.normal, view, cos_theta)
                 caus = gather.estimate_radiance(
-                    photon_maps.caustic, hit.point, hit.normal, exact,
+                    caustic_grid, hit.point, hit.normal, exact,
                     cos_theta, kd, ks, shin,
                     cfg.caustic_estimate_size, cfg.caustic_estimate_dist,
                     cfg.caustic_filter, cfg)
@@ -198,6 +227,18 @@ def mc_walk(scene: Scene, cfg: RenderConfig, key, o, d, weight, phase, alive,
                 buffer = buffer + jnp.where(is_d_[:, None], caus, 0.0)
                 counters = counters.at[ST.CAUSTIC].add(
                     jnp.sum(in_path & is_d_, dtype=jnp.int32))
+            elif cfg.caustic_illum and defer_caustic:
+                # deferred: contribution is buffer-term * s.weight, so the
+                # queued weight folds throughput and the caller's per-group
+                # scale; answered by the ring gather after the walk
+                exact = S.reflective_bounce(hit.normal, view, cos_theta)
+                is_d_ = jnp.any(kd > 0, axis=-1)
+                want = in_path & is_d_
+                cq = _enqueue(cq, want, hit.point, hit.normal, exact,
+                              cos_theta, kd, ks, shin,
+                              s.weight * out_scale, out_row)
+                counters = counters.at[ST.CAUSTIC].add(
+                    jnp.sum(want, dtype=jnp.int32))
             color = color + jnp.where(in_path[:, None], buffer * s.weight, 0.0)
 
         # ---- Russian roulette branch selection -------------------------
@@ -235,17 +276,18 @@ def mc_walk(scene: Scene, cfg: RenderConfig, key, o, d, weight, phase, alive,
         safe_pd = jnp.maximum(prob_d, 1e-12)
 
         glob_est = None
-        if photon_maps is not None and photon_maps.global_ is not None:
+        if global_grid is not None:
             exact = S.reflective_bounce(hit.normal, view, cos_theta)
             if cfg.irradiance_cache:
                 glob_est = gather.estimate_cached_radiance(
-                    photon_maps.global_, hit.point, hit.normal, exact,
+                    global_grid, hit.point, hit.normal, exact,
                     cos_theta, kd, ks, shin, cfg.global_estimate_dist)
             else:
                 glob_est = gather.estimate_radiance(
-                    photon_maps.global_, hit.point, hit.normal, exact,
+                    global_grid, hit.point, hit.normal, exact,
                     cos_theta, kd, ks, shin, cfg.global_estimate_size,
                     cfg.global_estimate_dist, cfg.global_filter, cfg)
+        have_global = glob_est is not None or defer_global
 
         new_phase = s.phase
         new_weight = s.weight
@@ -265,18 +307,28 @@ def mc_walk(scene: Scene, cfg: RenderConfig, key, o, d, weight, phase, alive,
                                    s.weight * kd * kd / safe_pd[:, None],
                                    new_weight)
             new_d = jnp.where(trans[:, None], cosine_dir, new_d)
-        elif cfg.fast_global and glob_est is not None:
-            color = color + jnp.where(
-                d_path[:, None],
-                glob_est * kd * s.weight / safe_pd[:, None], 0.0)
+            glob_want = d_ind
+        elif cfg.fast_global and have_global:
+            if glob_est is not None:
+                color = color + jnp.where(
+                    d_path[:, None],
+                    glob_est * kd * s.weight / safe_pd[:, None], 0.0)
             die = die | d_path
+            glob_want = d_ind | (d_path if defer_global else False)
         else:
             die = die | d_path
+            glob_want = d_ind
 
         if glob_est is not None:
             color = color + jnp.where(
                 d_ind[:, None],
                 glob_est * kd * s.weight / safe_pd[:, None], 0.0)
+        elif defer_global:
+            exact = S.reflective_bounce(hit.normal, view, cos_theta)
+            gq = _enqueue(gq, glob_want, hit.point, hit.normal, exact,
+                          cos_theta, kd, ks, shin,
+                          kd * s.weight / safe_pd[:, None] * out_scale,
+                          out_row)
         die = die | d_ind
 
         # ---- transmissive branch ---------------------------------------
@@ -333,7 +385,8 @@ def mc_walk(scene: Scene, cfg: RenderConfig, key, o, d, weight, phase, alive,
                           hit.point + new_d * _bounce_eps(scene), s.o)
         return WalkState(key=key, o=new_o, d=new_d, weight=new_weight,
                          phase=new_phase, alive=alive, color=color,
-                         depth=s.depth + 1, counters=counters)
+                         depth=s.depth + 1, counters=counters,
+                         cq=cq, gq=gq)
 
     if cfg.differentiable:
         # reverse-mode AD can't differentiate while_loop; unroll to a
@@ -350,6 +403,8 @@ def mc_walk(scene: Scene, cfg: RenderConfig, key, o, d, weight, phase, alive,
         final, _ = jax.lax.scan(scan_body, state, None, length=depth)
     else:
         final = jax.lax.while_loop(cond, body, state)
+    if defer:
+        return final.color, final.counters, final.cq, final.gq
     return final.color, final.counters
 
 
@@ -359,7 +414,19 @@ def shade_secondary(scene: Scene, cfg: RenderConfig, key, hit, ray_o, ray_d,
     specular + indirect sample batches (one fused walk) and the direct
     caustic / global-map estimates at the primary hit.
 
-    Returns (color, counters[ST.N_COUNTERS] int32)."""
+    Returns (color, counters[ST.N_COUNTERS] int32); with a ShardedMaps,
+    (color, counters, caustic_queue, global_queue) — the caller runs the
+    ring gathers and scatter-adds `est * weight` at queue rows."""
+    from ..photon.gather import ShardedMaps
+    defer = isinstance(photon_maps, ShardedMaps)
+    if defer:
+        caustic_grid = photon_maps.caustic_rep
+        global_grid = photon_maps.global_rep
+    else:
+        caustic_grid = photon_maps.caustic if photon_maps is not None else None
+        global_grid = photon_maps.global_ if photon_maps is not None else None
+    cq = gq = None
+
     counters = jnp.zeros((ST.N_COUNTERS,), jnp.int32)
     mats = scene.materials
     B = hit.t.shape[0]
@@ -445,8 +512,23 @@ def shade_secondary(scene: Scene, cfg: RenderConfig, key, hit, ray_o, ray_d,
         ph2 = jnp.concatenate([g[3] for g in groups])
         al2 = jnp.concatenate([g[4] for g in groups])
         key, k_walk = jax.random.split(key)
-        walked, walk_counters = mc_walk(scene, cfg, k_walk, o2, d2, w2, ph2,
-                                        al2, photon_maps)
+        if defer:
+            # fold each group's mean(axis=1) * total_w averaging into the
+            # per-lane deferred-request scale, so queued contributions
+            # scatter straight to primary-ray rows
+            rows = jnp.concatenate([
+                jnp.repeat(jnp.arange(B, dtype=jnp.int32), g[5])
+                for g in groups])
+            scales = jnp.concatenate([
+                jnp.repeat(g[6] / g[5], g[5], axis=0) for g in groups])
+            n_lanes = o2.shape[0]
+            walked, walk_counters, cq, gq = mc_walk(
+                scene, cfg, k_walk, o2, d2, w2, ph2, al2, photon_maps,
+                out_row=rows, out_scale=scales,
+                queue_caps=(2 * n_lanes + B, n_lanes + B))
+        else:
+            walked, walk_counters = mc_walk(scene, cfg, k_walk, o2, d2, w2,
+                                            ph2, al2, photon_maps)
         counters = counters + walk_counters
         ofs = 0
         for (_, _, _, _, _, ns, total_w, active) in groups:
@@ -455,31 +537,48 @@ def shade_secondary(scene: Scene, cfg: RenderConfig, key, hit, ray_o, ray_d,
             ofs += B * ns
 
     # Caustic estimate at the primary hit (raytracer.cpp:138-149)
-    if cfg.caustic_illum and photon_maps is not None \
-            and photon_maps.caustic is not None:
+    prim_row = jnp.arange(B, dtype=jnp.int32)
+    if cfg.caustic_illum and caustic_grid is not None:
         exact = S.reflective_bounce(hit.normal, view, cos_theta)
         caus = gather.estimate_radiance(
-            photon_maps.caustic, hit.point, hit.normal, exact, cos_theta,
+            caustic_grid, hit.point, hit.normal, exact, cos_theta,
             kd, ks, shin, cfg.caustic_estimate_size,
             cfg.caustic_estimate_dist, cfg.caustic_filter, cfg)
         color = color + jnp.where((hit.valid & is_d)[:, None], caus, 0.0)
         counters = counters.at[ST.CAUSTIC].add(
             jnp.sum(hit.valid & is_d, dtype=jnp.int32))
+    elif cfg.caustic_illum and defer and photon_maps.caustic is not None:
+        if cq is None:
+            cq = _empty_queue(B)
+        exact = S.reflective_bounce(hit.normal, view, cos_theta)
+        want = hit.valid & is_d
+        cq = _enqueue(cq, want, hit.point, hit.normal, exact, cos_theta,
+                      kd, ks, shin, jnp.ones((B, 3)), prim_row)
+        counters = counters.at[ST.CAUSTIC].add(
+            jnp.sum(want, dtype=jnp.int32))
 
     # Direct photon-map visualization / fast-global layer
     # (raytracer.cpp:151-167, gated by -photon_viz/-fast_global)
-    if cfg.direct_photon_illum and photon_maps is not None \
-            and photon_maps.global_ is not None:
+    if cfg.direct_photon_illum and global_grid is not None:
         exact = S.reflective_bounce(hit.normal, view, cos_theta)
         if cfg.irradiance_cache:
             g = gather.estimate_cached_radiance(
-                photon_maps.global_, hit.point, hit.normal, exact, cos_theta,
+                global_grid, hit.point, hit.normal, exact, cos_theta,
                 kd, ks, shin, cfg.global_estimate_dist)
         else:
             g = gather.estimate_radiance(
-                photon_maps.global_, hit.point, hit.normal, exact, cos_theta,
+                global_grid, hit.point, hit.normal, exact, cos_theta,
                 kd, ks, shin, cfg.global_estimate_size,
                 cfg.global_estimate_dist, cfg.global_filter, cfg)
         color = color + jnp.where((hit.valid & is_d)[:, None], g, 0.0)
+    elif cfg.direct_photon_illum and defer \
+            and photon_maps.global_ is not None:
+        if gq is None:
+            gq = _empty_queue(B)
+        exact = S.reflective_bounce(hit.normal, view, cos_theta)
+        gq = _enqueue(gq, hit.valid & is_d, hit.point, hit.normal, exact,
+                      cos_theta, kd, ks, shin, jnp.ones((B, 3)), prim_row)
 
+    if defer:
+        return color, counters, cq, gq
     return color, counters

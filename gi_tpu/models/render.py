@@ -62,11 +62,15 @@ def shade_hits(scene: Scene, cfg: RenderConfig, key, hit, ray_o, ray_d,
             jnp.sum(shaded, dtype=jnp.int32) * factor)
 
     # Secondary terms (Monte Carlo / photon map layers)
-    color, sec_counters = montecarlo.shade_secondary(
+    out = montecarlo.shade_secondary(
         scene, cfg, key, hit, ray_o, ray_d, color, photon_maps)
+    color, sec_counters = out[0], out[1]
     counters = counters + sec_counters
 
-    return jnp.where(hit.valid[:, None], color, scene.background), counters
+    color = jnp.where(hit.valid[:, None], color, scene.background)
+    if len(out) == 4:  # deferred-gather queues (ShardedMaps, P8)
+        return color, counters, out[2], out[3]
+    return color, counters
 
 
 @partial(jax.jit, static_argnames=("cfg", "width", "height", "with_stats"))
@@ -74,7 +78,13 @@ def render_tile(scene: Scene, cfg: RenderConfig, key, pixel_idx: jnp.ndarray,
                 width: int, height: int, photon_maps=None,
                 with_stats: bool = False):
     """Render a tile of supersampled pixels -> [B,3] colors (DOF-averaged),
-    plus a per-category dispatched-ray counter vector when with_stats."""
+    plus a per-category dispatched-ray counter vector when with_stats.
+
+    With a ShardedMaps (P8 deferred-gather render) the return is instead
+    (color_lanes [B*n_dof,3], counters, caustic_queue, global_queue): the
+    photon-map terms are NOT in the colors yet — the caller must answer
+    the queues with the ring gather, scatter-add est*weight at queue rows,
+    and only then average the DOF dim (parallel/mesh.py)."""
     n_dof = cfg.dof_test if cfg.depth_of_field else 1
     key_dof, key_shade = jax.random.split(key)
     o, d = eye_rays(scene, cfg, key_dof, pixel_idx, width, height, n_dof)
@@ -82,12 +92,14 @@ def render_tile(scene: Scene, cfg: RenderConfig, key, pixel_idx: jnp.ndarray,
     o = o.reshape(B * n_dof, 3)
     d = d.reshape(B * n_dof, 3)
     hit = intersect_scene(scene, o, d, t_min=0.0)
-    color, counters = shade_hits(scene, cfg, key_shade, hit, o, d,
-                                 photon_maps)
+    out = shade_hits(scene, cfg, key_shade, hit, o, d, photon_maps)
+    color, counters = out[0], out[1]
+    counters = counters.at[ST.SCREEN].add(B * n_dof)
+    if len(out) == 4:
+        return color, counters, out[2], out[3]
     color = color.reshape(B, n_dof, 3).mean(axis=1)
     if not with_stats:
         return color
-    counters = counters.at[ST.SCREEN].add(B * n_dof)
     return color, counters
 
 
@@ -111,8 +123,23 @@ def render_image(scene: Scene, cfg: RenderConfig, photon_maps=None,
             mesh = None
         else:
             tile += (-tile) % n_dev  # sharded batch must divide evenly
+    map_sharded = False
     if mesh is not None:
-        from ..parallel.mesh import render_tile_sharded
+        from ..parallel.mesh import render_tile_mapsharded, render_tile_sharded
+        from ..photon.gather import ShardedMaps
+        map_sharded = isinstance(photon_maps, ShardedMaps)
+        if photon_maps is not None and not map_sharded:
+            # P8 policy: keep big maps device-sharded through the render
+            # (ring-exchange deferred gather) instead of replicating them
+            sizes = [g.pos.shape[0] for g in (photon_maps.global_,
+                                              photon_maps.caustic)
+                     if g is not None]
+            if cfg.shard_maps or (sizes
+                                  and max(sizes) > cfg.shard_maps_threshold):
+                from ..parallel.gather import build_sharded_maps
+                photon_maps = build_sharded_maps(photon_maps, cfg, mesh)
+                map_sharded = True
+    dropped_gathers = 0
 
     key = jax.random.PRNGKey(cfg.seed)
     fb = np.zeros((total, 3), np.float32)
@@ -122,7 +149,14 @@ def render_image(scene: Scene, cfg: RenderConfig, photon_maps=None,
         start = t * tile
         idx = (start + jnp.arange(tile, dtype=jnp.int32)) % total
         key, sub = jax.random.split(key)
-        if mesh is not None:
+        if map_sharded:
+            out = render_tile_mapsharded(scene, cfg, sub, idx, sw, sh, mesh,
+                                         photon_maps,
+                                         with_stats=stats is not None)
+            dropped_gathers += int(out[-1])
+            out = out[:-1]
+            out = out[0] if len(out) == 1 else out
+        elif mesh is not None:
             out = render_tile_sharded(scene, cfg, sub, idx, sw, sh, mesh,
                                       photon_maps,
                                       with_stats=stats is not None)
@@ -139,6 +173,12 @@ def render_image(scene: Scene, cfg: RenderConfig, photon_maps=None,
             progress((t + 1) / n_tiles)
     if stats is not None:
         stats.seconds += time.time() - t0
+    if dropped_gathers:
+        import sys
+        print(f"gi_tpu: warning: {dropped_gathers} deferred gather "
+              f"requests overflowed their queues (sharded-map render); "
+              f"the image is missing that photon-map energy — raise the "
+              f"queue capacity or render smaller tiles", file=sys.stderr)
 
     # Clamp each supersample, then box-filter down (render.cpp:204-221)
     img = np.clip(fb.reshape(sh, sw, 3), 0.0, 1.0)

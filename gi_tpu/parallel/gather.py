@@ -72,6 +72,30 @@ def shard_photons(pos, power, dir_code, valid, mesh: Mesh):
             jax.device_put(_pad_to(jnp.asarray(valid, bool), n_pad), sh))
 
 
+def build_sharded_maps(maps, cfg, mesh: Mesh):
+    """Convert replicated PhotonMaps into the P8 deferred-gather layout:
+    each map's photons laid out P(AXIS) over the mesh via shard_photons.
+    The irradiance-cache global map stays replicated (`global_rep`) — its
+    nearest-sample lookup has no deferred form; it is small by design
+    (the cache exists to make tiny global maps cheap, README.md:464)."""
+    from ..photon.gather import ShardedMaps
+
+    def shard(grid):
+        return shard_photons(grid.pos, grid.power.astype(jnp.float32),
+                             grid.dir_code, grid.valid, mesh)
+
+    ca = ga = gr = None
+    if maps.caustic is not None:
+        ca = shard(maps.caustic)
+    if maps.global_ is not None:
+        if cfg.irradiance_cache:
+            gr = maps.global_
+        else:
+            ga = shard(maps.global_)
+    return ShardedMaps(caustic=ca, global_=ga, caustic_rep=None,
+                       global_rep=gr)
+
+
 def _merge_shard(point, top_d2, top_flux, top_inc, shard, radius2):
     """Merge one resident photon shard into the running top-K payload.
 

@@ -83,6 +83,62 @@ def render_tile_sharded(scene: Scene, cfg: RenderConfig, key,
     return f(scene, key, pixel_idx, photon_maps)
 
 
+def render_tile_mapsharded(scene: Scene, cfg: RenderConfig, key,
+                           pixel_idx: jnp.ndarray, width: int, height: int,
+                           mesh: Mesh, smaps, with_stats: bool = False):
+    """P8: render a pixel batch with DEVICE-SHARDED photon maps.
+
+    Each device renders its pixel shard with photon-map estimates deferred
+    into fixed-capacity request queues (models/montecarlo.py::GatherQueue),
+    then every device answers its local queues with the ring-exchange
+    gather (uniform collective: the walk's data-dependent while_loop is
+    over before any ppermute runs), scatter-adds est*weight at the queue
+    rows, and finally averages the DOF dim.  Exact: matches the
+    replicated-map render up to K-th-neighbor ties and f32 summation
+    order (tests/test_mapshard.py)."""
+    from .gather import ring_radiance_queries
+
+    n_dev = int(mesh.devices.size)
+
+    def body(scene_, key_, idx_, ca_, ga_, gr_):
+        k = jax.random.fold_in(key_, jax.lax.axis_index(AXIS))
+        from ..photon.gather import ShardedMaps
+        smaps_ = ShardedMaps(caustic=ca_, global_=ga_, caustic_rep=None,
+                             global_rep=gr_)
+        color, counters, cq, gq = render_tile(scene_, cfg, k, idx_, width,
+                                              height, smaps_)
+        if cq is not None:
+            est = ring_radiance_queries(
+                ca_, cq.point, cq.normal, cq.bounce, cq.ct, cq.kd, cq.ks,
+                cq.shin, cfg.caustic_estimate_size, cfg.caustic_estimate_dist,
+                cfg.caustic_filter, cfg, n_dev)
+            color = color.at[cq.row].add(est * cq.weight, mode="drop")
+        if gq is not None:
+            est = ring_radiance_queries(
+                ga_, gq.point, gq.normal, gq.bounce, gq.ct, gq.kd, gq.ks,
+                gq.shin, cfg.global_estimate_size, cfg.global_estimate_dist,
+                cfg.global_filter, cfg, n_dev)
+            color = color.at[gq.row].add(est * gq.weight, mode="drop")
+        n_dof = cfg.dof_test if cfg.depth_of_field else 1
+        B = idx_.shape[0]
+        color = color.reshape(B, n_dof, 3).mean(axis=1)
+        dropped = jnp.zeros((), jnp.int32)
+        for q in (cq, gq):
+            if q is not None:
+                dropped = dropped + jnp.maximum(q.count - q.cap, 0)
+        if not with_stats:
+            return color, jax.lax.psum(dropped, AXIS)
+        return (color, jax.lax.psum(counters, AXIS),
+                jax.lax.psum(dropped, AXIS))
+
+    out_specs = ((P(AXIS), P(), P()) if with_stats else (P(AXIS), P()))
+    f = shard_map(body, mesh=mesh,
+                  in_specs=(P(), P(), P(AXIS), P(AXIS), P(AXIS), P()),
+                  out_specs=out_specs, check_rep=False)
+    return f(scene, key, pixel_idx, smaps.caustic, smaps.global_,
+             smaps.global_rep)
+
+
 def diff_params(scene: Scene):
     """The differentiable parameter pytree: materials, light color /
     position / size, camera (BASELINE.json north star: gradients w.r.t.

@@ -352,7 +352,12 @@ def estimate_radiance(grid: PhotonGrid, point, normal, exact_bounce,
     non-uniform densities (measured ~1.6x at a 300k-photon caustic focus),
     so the CPU fallback is slow-but-exact rather than fast-but-biased and
     always agrees with the TPU render (docs/DESIGN.md)."""
-    if _use_pallas_gather(grid):
+    if _use_pallas_gather(grid) and not cfg.differentiable:
+        # The streamed Pallas kernel has no autodiff rule (it never
+        # materializes its neighbor set, so there is nothing to
+        # select-then-recompute from); differentiable renders take the
+        # exact jnp path, whose top_k/scan ops carry gradients
+        # (tests/test_grad.py photon-layer gradchecks).
         from ..ops import intersect as I
         from .pallas_gather import estimate_radiance_pallas
         return estimate_radiance_pallas(

@@ -248,3 +248,100 @@ def test_gradcheck_light_radius_area_light():
     d = _dir_like(params, light_radius=jnp.ones(1))
     ad, fd = _check_fd(loss, params, d, 1e-3, 6e-2)
     assert abs(ad) > 1e-4
+
+
+# ---------------------------------------------------------------------------
+# Photon-map layer gradchecks (VERDICT r2 item 6): FD vs AD through the
+# caustic radiance estimate and the indirect final gather, exercising the
+# exact streaming top_k gather path.  The photon MAP is a fixed constant
+# (its trace is a discrete stochastic process); gradients flow through the
+# render: per-photon Phong weighting (kd/ks/shininess at the query) and the
+# walk's throughput products.
+# ---------------------------------------------------------------------------
+
+
+def test_gradcheck_caustic_layer(tmp_path):
+    """d/d(kd,ks,shininess) of a caustic-lit render (caustic.scn, primary
+    -hit caustic estimates only — deterministic, no RR)."""
+    from gi_tpu.photon.trace import build_photon_maps
+    from gi_tpu.scene.scn import load_scene
+
+    scene = load_scene("/root/reference/input/caustic.scn")
+    cfg = RenderConfig(width=12, height=12, aa=0, ambient=False,
+                       monte_carlo=False, indirect_illum=False,
+                       transmissive_illum=False, specular_illum=False,
+                       direct_illum=False, caustic_illum=True,
+                       caustic_photon_count=8000, caustic_estimate_size=40,
+                       caustic_estimate_dist=0.4, max_photon_depth=16,
+                       differentiable=True, ray_tile=144)
+    maps, cfg = build_photon_maps(scene, cfg, jax.random.PRNGKey(2))
+    assert maps is not None and maps.caustic is not None
+
+    rng = np.random.default_rng(3)
+    w = jnp.asarray(rng.uniform(0.1, 1.0, (144, 3)).astype(np.float32))
+
+    def loss(params):
+        s = apply_params(scene, params)
+        idx = jnp.arange(144, dtype=jnp.int32)
+        img = render_tile(s, cfg, jax.random.PRNGKey(7), idx, 12, 12, maps)
+        return jnp.vdot(w, img)
+
+    params = diff_params(scene)
+    # floor material (index 1 in caustic.scn): kd G channel
+    v = jnp.zeros_like(params["materials"].kd).at[1, 1].set(1.0)
+    d = jax.tree.map(jnp.zeros_like, params)
+    d["materials"] = d["materials"].replace(kd=v)
+    _check_fd(loss, params, d, 1e-3, 2e-2)
+
+    # shininess through the per-photon Phong lobe needs a specular floor
+    mats = scene.materials
+    scene_s = scene.replace(materials=mats.replace(
+        ks=mats.ks.at[1].set(jnp.asarray([0.3, 0.3, 0.3]))))
+
+    def loss_s(params):
+        s = apply_params(scene_s, params)
+        idx = jnp.arange(144, dtype=jnp.int32)
+        img = render_tile(s, cfg, jax.random.PRNGKey(7), idx, 12, 12, maps)
+        return jnp.vdot(w, img)
+
+    params_s = diff_params(scene_s)
+    v = jnp.zeros_like(params_s["materials"].shininess).at[1].set(1.0)
+    d = jax.tree.map(jnp.zeros_like, params_s)
+    d["materials"] = d["materials"].replace(shininess=v)
+    _check_fd(loss_s, params_s, d, 1e-3, 3e-2)
+
+
+def test_gradcheck_indirect_gather_layer(cornell_scene):
+    """d/d(kd) of the indirect final-gather layer (global-map estimate at
+    walk termination, kd^2/prob_d transition weight).  The perturbed kd
+    channel (G of the blue wall, kd=(0,0.5,0.8)) is NOT the max channel,
+    so Russian-roulette thresholds are unmoved and the FD sees only the
+    smooth dependence."""
+    from gi_tpu.photon.trace import build_photon_maps
+
+    cfg = RenderConfig(width=12, height=12, aa=0, ambient=False,
+                       monte_carlo=True, direct_illum=False,
+                       caustic_illum=False, transmissive_illum=False,
+                       specular_illum=False, indirect_illum=True,
+                       indirect_test=4, max_monte_depth=3,
+                       diff_monte_depth=3, global_photon_count=3000,
+                       global_estimate_size=30, global_estimate_dist=0.8,
+                       max_photon_depth=8, differentiable=True,
+                       ray_tile=144)
+    maps, cfg = build_photon_maps(cornell_scene, cfg, jax.random.PRNGKey(4))
+    assert maps is not None and maps.global_ is not None
+
+    rng = np.random.default_rng(5)
+    w = jnp.asarray(rng.uniform(0.1, 1.0, (144, 3)).astype(np.float32))
+
+    def loss(params):
+        s = apply_params(cornell_scene, params)
+        idx = jnp.arange(144, dtype=jnp.int32)
+        img = render_tile(s, cfg, jax.random.PRNGKey(9), idx, 12, 12, maps)
+        return jnp.vdot(w, img)
+
+    params = diff_params(cornell_scene)
+    v = jnp.zeros_like(params["materials"].kd).at[2, 1].set(1.0)
+    d = jax.tree.map(jnp.zeros_like, params)
+    d["materials"] = d["materials"].replace(kd=v)
+    _check_fd(loss, params, d, 1e-3, 3e-2)
