@@ -1,16 +1,38 @@
 """Benchmark ladder: the BASELINE.md configs, measured on real TPU.
 
-Prints ONE JSON line.  Primary metric (backward-compatible with round 1):
-rays/s on cornell.scn 1024x1024 direct illumination (aa=0), vs the
-reference's ~7.16e5 rays/s aggregate on 8 CPU threads (README.md:403).
+Structured so the driver can never lose the record (round-2 lesson:
+BENCH_r02.json was rc=124/parsed=null because one cold XLA compile ate the
+whole timeout before any JSON reached stdout):
 
-`extras` holds the matched-config ladder from BASELINE.md:
-  - photons/s: caustic.scn caustic-map tracing (stored photons per second;
-    reference: 100M stored in 300 s = 3.33e5/s, README.md:357).
-  - direct+caustic 512^2, 4 samples/px, 10M-photon caustic map, cs=225,
-    cd=0.225 (reference: 1564.3 s, README.md:362).
-  - indirect importance-sampled 512^2, 1 spp, 64 indirect samples,
-    ~2k-photon global map gs=50 gd=2.5 (reference: 51.8 s, README.md:393).
+  1. a persistent compilation cache (.jax_cache, committed with the repo)
+     is enabled before anything compiles — the build rounds warm it, so
+     driver runs deserialize executables in ~1 s instead of recompiling
+     for minutes through the TPU tunnel;
+  2. the PRIMARY metric line is printed (flushed) the moment it is
+     measured; the extended object with the extras ladder is re-printed
+     as the final line — whichever line a parser takes, it parses;
+  3. every extras rung checks a wall-clock budget (GI_BENCH_BUDGET_S,
+     default 360 s) and is skipped, not killed, when it would not fit.
+
+Primary metric (backward-compatible with rounds 1-2): rays/s on
+cornell.scn 1024x1024 direct illumination (aa=0), vs the reference's
+~7.16e5 rays/s aggregate on 8 CPU threads (README.md:403).  Ray counting
+matches the reference (render.cpp:224-254): screen rays + shadow rays,
+taken from the renderer's own per-category counters.
+
+`extras` is the matched-config ladder from BASELINE.md:
+  - caustic_photons_stored_per_s: caustic.scn map tracing (reference:
+    100M stored in 300 s = 3.33e5/s, README.md:357).
+  - caustic_photons_50M: the same tracer at the reference's headline
+    scale (>=50M stored, zero overflow drops) + grid build time.
+  - direct_plus_caustic_512_seconds: 512^2, 4 samples/px, 10M-photon
+    caustic map, cs=225 cd=0.225 (reference: 1564.3 s, README.md:362).
+  - indirect64_512_seconds: importance-sampled indirect, 512^2, 1 spp,
+    64 samples, ~2k-photon global map (reference: 51.8 s, README.md:393).
+  - mesh_closest_hit_rays_per_s: 1M eye rays x 172,792 tris (2x
+    violinBody.off), Pallas block-culled kernel vs the plain jnp scan —
+    the driver-recorded form of the triangle-path numbers
+    (R3Isect.cpp:800-833 is a linear scan; the reference has no BVH).
 
 Render-time metrics time a uniformly random subset of the supersample
 batch and scale to the full frame (unbiased: every pixel batch costs the
@@ -24,64 +46,69 @@ import os
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
 
 import jax
+
+jax.config.update("jax_compilation_cache_dir", os.path.join(REPO, ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 import jax.numpy as jnp
 import numpy as np
 
 INPUT = "/root/reference/input"
 
+_T_START = time.time()
+# Wall-clock budget for the extras ladder: a rung only starts if the
+# elapsed time is under this, so the final JSON always reaches stdout
+# before any outer driver timeout.
+_BUDGET_S = float(os.environ.get("GI_BENCH_BUDGET_S", "360"))
+
+
+def _note(msg):
+    print(f"[bench +{time.time() - _T_START:.0f}s] {msg}", file=sys.stderr,
+          flush=True)
+
+
+def _over_budget():
+    return time.time() - _T_START > _BUDGET_S
+
 
 def _bench_direct_rays():
     from gi_tpu.models.render import render_tile
-    from gi_tpu.ops.intersect import intersect_scene
-    from gi_tpu.models.camera import eye_rays
     from gi_tpu.scene.scn import load_scene
+    from gi_tpu.utils import stats as ST
     from gi_tpu.utils.config import RenderConfig
 
     scene = load_scene(f"{INPUT}/cornell.scn")
     res = 1024
-    tile = 1048576
+    tile = res * res
     cfg = RenderConfig(width=res, height=res, aa=0, indirect_illum=False,
                        caustic_illum=False, transmissive_illum=False,
                        specular_illum=False, monte_carlo=False,
                        ray_tile=tile)
-    total = res * res
-    n_tiles = total // tile
     key = jax.random.PRNGKey(0)
-
-    # Count rays the way the reference does (render.cpp:224-254):
-    # 1 screen ray per pixel + 1 shadow ray per shaded hit.
-    def count_tile(scene_, idx):
-        o, d = eye_rays(scene_, cfg, jax.random.PRNGKey(0), idx, res, res, 1)
-        h = intersect_scene(scene_, o.reshape(-1, 3), d.reshape(-1, 3))
-        kd = scene_.materials.kd[h.mat]
-        ks = scene_.materials.ks[h.mat]
-        ds = jnp.any(kd > 0, axis=-1) | jnp.any(ks > 0, axis=-1)
-        return jnp.sum(h.valid & ds)
-
-    count_jit = jax.jit(count_tile)
-    shadow_rays = 0
-    for t in range(n_tiles):
-        idx = t * tile + jnp.arange(tile, dtype=jnp.int32)
-        shadow_rays += int(count_jit(scene, idx))
-    total_rays = total + shadow_rays
+    idx0 = jnp.arange(tile, dtype=jnp.int32)
 
     t0 = time.time()
-    idx0 = jnp.arange(tile, dtype=jnp.int32)
-    render_tile(scene, cfg, key, idx0, res, res, None).block_until_ready()
+    color, counters = render_tile(scene, cfg, key, idx0, res, res, None,
+                                  with_stats=True)
+    jax.block_until_ready(color)
     compile_s = time.time() - t0
+    c = np.asarray(counters)
+    # reference-style ray count: screen + shadow (render.cpp:224-254);
+    # deterministic per frame (hard shadow rays depend only on hits)
+    total_rays = int(c[ST.SCREEN] + c[ST.SHADOW])
 
     elapsed = float("inf")
     for _ in range(3):
+        key, sub = jax.random.split(key)
         start = time.perf_counter()
-        outs = []
-        for t in range(n_tiles):
-            idx = t * tile + jnp.arange(tile, dtype=jnp.int32)
-            key, sub = jax.random.split(key)
-            outs.append(render_tile(scene, cfg, sub, idx, res, res, None))
-        jax.block_until_ready(outs)
+        out = render_tile(scene, cfg, sub, idx0, res, res, None,
+                          with_stats=True)
+        jax.block_until_ready(out)
         elapsed = min(elapsed, time.perf_counter() - start)
 
     rays_per_s = total_rays / elapsed
@@ -96,33 +123,39 @@ def _bench_direct_rays():
     }
 
 
-def _bench_photon_trace():
+def _bench_photon_trace(goal, metric, baseline_pps, depth=128):
     from gi_tpu.photon.trace import MAP_CAUSTIC, trace_photon_map
     from gi_tpu.scene.scn import load_scene
     from gi_tpu.utils.config import RenderConfig
 
     scene = load_scene(f"{INPUT}/caustic.scn")
-    # warm-compile the emission-round program on a small goal
-    warm = RenderConfig(caustic_photon_count=50_000, max_photon_depth=128)
+    cfg = RenderConfig(caustic_photon_count=goal, max_photon_depth=depth)
+    # First run compiles every emission-rung + grid-build program the quota
+    # loop reaches (quantized round sizes escalate with the goal, so a
+    # small-goal warm-up would NOT cover the big rungs); the second run is
+    # the steady-state measurement.
     t0 = time.time()
-    trace_photon_map(scene, warm, jax.random.PRNGKey(1), MAP_CAUSTIC)
+    trace_photon_map(scene, cfg, jax.random.PRNGKey(1), MAP_CAUSTIC)
     compile_s = time.time() - t0
 
-    cfg = RenderConfig(caustic_photon_count=2_000_000, max_photon_depth=128)
     t0 = time.time()
     grid, stats = trace_photon_map(scene, cfg, jax.random.PRNGKey(2),
                                    MAP_CAUSTIC)
     elapsed = time.time() - t0
     stored = int(stats["stored"])
-    pps = stored / elapsed
+    pps = stored / max(stats["seconds"], 1e-9)
     return {
-        "metric": "caustic_photons_stored_per_s",
+        "metric": metric,
         "value": round(pps, 1),
         "unit": "photons/s",
-        "vs_baseline": round(pps / 3.33e5, 3),
+        "vs_baseline": round(pps / baseline_pps, 3),
         "elapsed_s": round(elapsed, 2),
-        "compile_s": round(compile_s, 1),
+        "trace_s": round(stats["seconds"], 2),
+        "grid_build_s": round(stats.get("build_s", 0.0), 2),
+        "warm_run_s": round(compile_s, 1),
         "stored": stored,
+        "emitted": int(stats["emitted"]),
+        "overflow_rounds": int(stats["overflow_rounds"]),
     }, grid
 
 
@@ -207,34 +240,118 @@ def _bench_indirect():
     }
 
 
-_T_START = time.time()
-# Wall-clock budget for the extras ladder: past it, remaining rungs are
-# skipped so the primary metric always reaches stdout before any outer
-# driver timeout.
-_BUDGET_S = float(os.environ.get("GI_BENCH_BUDGET_S", "900"))
+_BIGMESH_SCN = """\
+# bench scene: two violinBody meshes (2 x 86,396 = 172,792 triangles)
+camera  0 0.15 1.2   0 0 -1   0 1 0   0.35   0.01 100
+point_light  10 10 10   1 2 2   0 0 1
+material  0 0 0  0.7 0.7 0.7  0.2 0.2 0.2  0 0 0  0 0 0  10 1 0
+mesh 0 {input}/violinBody.off
+begin -1
+  1 0 0 0.25
+  0 1 0 0
+  0 0 1 -0.1
+  0 0 0 1
+  mesh 0 {input}/violinBody.off
+end
+"""
 
 
-def _note(msg):
-    print(f"[bench +{time.time() - _T_START:.0f}s] {msg}", file=sys.stderr,
-          flush=True)
+def _bench_mesh_closest_hit():
+    """1M primary rays against a 172,792-triangle scene: the Pallas
+    block-culled closest-hit kernel vs the plain jnp triangle scan — the
+    triangle path the reference does with a per-array linear scan
+    (R3Isect.cpp:800-833, no BVH)."""
+    from gi_tpu.models.camera import eye_rays
+    from gi_tpu.ops import intersect as I
+    from gi_tpu.scene.scn import load_scene
+    from gi_tpu.utils.config import RenderConfig
 
+    scn_path = "/tmp/gi_bench_bigmesh.scn"
+    with open(scn_path, "w") as f:
+        f.write(_BIGMESH_SCN.format(input=INPUT))
+    scene = load_scene(scn_path)
+    n_tris = int(scene.tris.v0.shape[0])
+    res = 1024
+    cfg = RenderConfig(width=res, height=res, aa=0)
+    o, d = eye_rays(scene, cfg, jax.random.PRNGKey(0),
+                    jnp.arange(res * res, dtype=jnp.int32), res, res, 1)
+    o = o.reshape(-1, 3)
+    d = d.reshape(-1, 3)
 
-def _over_budget():
-    return time.time() - _T_START > _BUDGET_S
+    def timed(mode):
+        # a FRESH jit closure per mode: the pallas-mode flag is read at
+        # trace time, so reusing one jitted function across modes would
+        # silently reuse the first mode's executable (round-3 warm run
+        # measured identical pallas/plain times for exactly this reason)
+        hit_fn = jax.jit(lambda s, o_, d_: I.intersect_scene(s, o_, d_).t)
+        I.set_pallas_mode(mode)
+        try:
+            t0 = time.time()
+            hit_fn(scene, o, d).block_until_ready()
+            compile_s = time.time() - t0
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                hit_fn(scene, o, d).block_until_ready()
+                best = min(best, time.perf_counter() - t0)
+            return best, compile_s
+        finally:
+            I.set_pallas_mode("auto")
+
+    pallas_s, pallas_compile = timed("always")
+    hit_rate = None
+    out = {
+        "metric": "mesh_closest_hit_rays_per_s",
+        "value": round(o.shape[0] / pallas_s, 1),
+        "unit": "rays/s",
+        "n_tris": n_tris,
+        "pallas_ms": round(pallas_s * 1e3, 1),
+        "compile_s": round(pallas_compile, 1),
+    }
+    if not _over_budget():
+        plain_s, _ = timed("never")
+        out["plain_ms"] = round(plain_s * 1e3, 1)
+        out["pallas_speedup"] = round(plain_s / pallas_s, 2)
+    # reference anchor: its aggregate full-pipeline throughput (it publishes
+    # no isolated mesh-intersection rate; its triangle path is the linear
+    # scan this kernel replaces)
+    out["vs_baseline"] = round(o.shape[0] / pallas_s / 7.16e5, 3)
+    return out
 
 
 def main():
     _note("primary: cornell 1024^2 direct rays/s")
     primary = _bench_direct_rays()
+    primary["device"] = str(jax.devices()[0])
+    # flush the primary record immediately: the driver's parse can never
+    # come up empty again, whatever happens to the extras below
+    print(json.dumps(primary), flush=True)
     _note(f"primary done: {primary['value']:.3g} rays/s")
+
     extras = []
-    try:
-        _note("extras: caustic photon trace (2M)")
-        photon_metric, grid = _bench_photon_trace()
-        extras.append(photon_metric)
-        _note(f"photons/s done: {photon_metric['value']:.3g}")
-        stored = photon_metric["stored"]
-        if photon_metric["value"] > 50_000 and not _over_budget():
+
+    def rung(name, fn):
+        if _over_budget():
+            extras.append({"metric": name, "skipped": "bench budget"})
+            return None
+        _note(f"extras: {name}")
+        try:
+            out = fn()
+            extras.append(out[0] if isinstance(out, tuple) else out)
+            return out
+        except Exception as e:  # keep the record alive
+            extras.append({"metric": name, "error": repr(e)})
+            return None
+
+    grid = None
+    got = rung("caustic_photons_stored_per_s",
+               lambda: _bench_photon_trace(2_000_000,
+                                           "caustic_photons_stored_per_s",
+                                           3.33e5))
+    if got is not None:
+        metric, grid = got
+        stored = metric["stored"]
+        if metric["value"] > 100_000 and not _over_budget():
             # fast enough to trace the full matched-config 10M map
             from gi_tpu.photon.trace import MAP_CAUSTIC, trace_photon_map
             from gi_tpu.scene.scn import load_scene
@@ -246,27 +363,18 @@ def main():
             grid, st = trace_photon_map(scene, cfg, jax.random.PRNGKey(4),
                                         MAP_CAUSTIC)
             stored = int(st["stored"])
-        if _over_budget():
-            extras.append({"metric": "direct_plus_caustic_512_seconds",
-                           "skipped": "bench budget exhausted"})
-        else:
-            _note("extras: direct+caustic 512^2 render")
-            extras.append(_bench_caustic_combined(grid, stored))
-    except Exception as e:  # keep the primary metric alive
-        extras.append({"metric": "caustic_bench_error", "error": repr(e)})
-    try:
-        if _over_budget():
-            extras.append({"metric": "indirect64_512_seconds",
-                           "skipped": "bench budget exhausted"})
-        else:
-            _note("extras: indirect 64-sample 512^2 render")
-            extras.append(_bench_indirect())
-    except Exception as e:
-        extras.append({"metric": "indirect_bench_error", "error": repr(e)})
+        rung("direct_plus_caustic_512_seconds",
+             lambda: _bench_caustic_combined(grid, stored))
+
+    rung("indirect64_512_seconds", _bench_indirect)
+    rung("mesh_closest_hit_rays_per_s", _bench_mesh_closest_hit)
+    rung("caustic_photons_50M",
+         lambda: _bench_photon_trace(50_000_000, "caustic_photons_50M",
+                                     3.33e5))
+
     out = dict(primary)
-    out["device"] = str(jax.devices()[0])
     out["extras"] = extras
-    print(json.dumps(out))
+    print(json.dumps(out), flush=True)
 
 
 if __name__ == "__main__":

@@ -155,7 +155,9 @@ def _cylinder_t(o, d, p0, p1, radius, t_min):
     B = 2.0 * _dot(w_p, d_p)
     C = _dot(w_p, w_p) - (radius**2)[None]
     disc = B * B - 4.0 * A * C
-    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    # sqrt evaluated only where disc > 0 (grad-safe: sqrt(0) has an
+    # infinite VJP that would NaN masked miss lanes under AD)
+    sq = jnp.sqrt(jnp.where(disc > 0, disc, 1.0))
     safeA = jnp.where(jnp.abs(A) < 1e-30, 1e-30, A)
     ts1 = (-B - sq) / (2.0 * safeA)
     ts2 = (-B + sq) / (2.0 * safeA)
@@ -210,7 +212,9 @@ def _cone_t(o, d, p0, p1, radius, t_min):
     B = 2.0 * _dot(w_p, d_p) + 2.0 * r * kk * sd - 2.0 * kk * kk * sw * sd
     C = _dot(w_p, w_p) - r * r + 2.0 * r * kk * sw - kk * kk * sw * sw
     disc = B * B - 4.0 * A * C
-    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    # sqrt evaluated only where disc > 0 (grad-safe: sqrt(0) has an
+    # infinite VJP that would NaN masked miss lanes under AD)
+    sq = jnp.sqrt(jnp.where(disc > 0, disc, 1.0))
     safeA = jnp.where(jnp.abs(A) < 1e-30, 1e-30, A)
     ts1 = (-B - sq) / (2.0 * safeA)
     ts2 = (-B + sq) / (2.0 * safeA)
@@ -493,10 +497,12 @@ def soft_visibility(scene: Scene, p_light: jnp.ndarray, p_surf: jnp.ndarray,
     sample position, surface point) or the occluder boundary.
 
     Smooth occluders: triangles (barycentric margin), spheres (signed
-    distance of closest approach), boxes (slab chord length).  Cylinders /
-    cones / circles fall back to a hard 0/1 factor (no boundary gradient).
-    The t-window test (occluder strictly between light and surface) is kept
-    hard so the receiving surface itself never "self-shadows" softly.
+    distance of closest approach), boxes (slab chord length), cylinders and
+    cones (radial margin of the ray to the clamped axis station vs the
+    local radius — for cones the radius tapers linearly to the apex),
+    circles/disks (radial margin of the plane hit).  The t-window test
+    (occluder strictly between light and surface) is kept hard so the
+    receiving surface itself never "self-shadows" softly.
     """
     delta = p_surf - p_light
     dist = jnp.sqrt(jnp.sum(delta * delta, axis=-1) + 1e-30)
@@ -554,21 +560,51 @@ def soft_visibility(scene: Scene, p_light: jnp.ndarray, p_surf: jnp.ndarray,
         occ = jnp.where(in_window(tnear), occ, 0.0)
         vis = vis * jnp.prod(1.0 - occ, axis=1)
 
-    # Hard fallbacks (no boundary gradients): cylinders, cones, circles.
-    for present, tfun in (
-        (scene.cylinders.p0.shape[0] > 0,
-         lambda: _cylinder_t(o, d, scene.cylinders.p0, scene.cylinders.p1,
-                             scene.cylinders.radius, t_lo[:, None])[0]),
-        (scene.cones.p0.shape[0] > 0,
-         lambda: _cone_t(o, d, scene.cones.p0, scene.cones.p1,
-                         scene.cones.radius, t_lo[:, None])[0]),
-        (scene.circles.center.shape[0] > 0,
-         lambda: _circle_t(o, d, scene.circles.center, scene.circles.normal,
-                           scene.circles.radius, t_lo[:, None])),
-    ):
-        if present:
-            t = jax.lax.stop_gradient(tfun())
-            blocked = jnp.any(t < t_hi[:, None], axis=1)
-            vis = vis * jnp.where(blocked, 0.0, 1.0)
+    # Cylinders / cones: smooth radial margin at the clamped closest axial
+    # station — the silhouette boundary (distance from the ray to the axis
+    # vs the local radius) carries the gradient; the axial t-window stays
+    # hard, like the sphere/box treatment above.
+    for prim, is_cone in ((scene.cylinders, False), (scene.cones, True)):
+        if prim.p0.shape[0] == 0:
+            continue
+        p0 = prim.p0[None]                         # [1,N,3]
+        u_ax = prim.p1[None] - p0
+        ulen2 = jnp.maximum(_dot(u_ax, u_ax), 1e-30)
+        o_ = o[:, None, :]
+        d_ = d[:, None, :]
+        # closest axial parameter between the ray line and the axis line:
+        # minimize |(o + t d) - (p0 + s u)|^2 -> s = (f - e b)/(c - b^2)
+        # with w0 = o - p0, b = d.u, c = u.u, e = d.w0, f = u.w0
+        w0 = o_ - p0
+        b_du = _dot(d_, u_ax)
+        e_dw = _dot(d_, w0)
+        f_uw = _dot(u_ax, w0)
+        denom = jnp.maximum(ulen2 - b_du * b_du, 1e-12)
+        s_ax = jnp.clip((f_uw - e_dw * b_du) / denom, 0.0, 1.0)
+        axis_pt = p0 + s_ax[..., None] * u_ax
+        tc = _dot(axis_pt - o_, d_)
+        perp = axis_pt - o_ - tc[..., None] * d_
+        dist_ax = jnp.sqrt(_dot(perp, perp) + 1e-30)
+        r_ref = jnp.maximum(prim.radius[None], 1e-30)
+        r_local = r_ref * (1.0 - s_ax) if is_cone else r_ref
+        sm = (dist_ax - r_local) / r_ref
+        occ = jax.nn.sigmoid(-sm * inv_beta)
+        occ = jnp.where(in_window(tc), occ, 0.0)
+        vis = vis * jnp.prod(1.0 - occ, axis=1)
+
+    # Circles (disks): smooth radial margin of the plane hit point.
+    if scene.circles.center.shape[0] > 0:
+        cc = scene.circles
+        o_ = o[:, None, :]
+        d_ = d[:, None, :]
+        dn = _dot(d_, cc.normal[None])
+        safe_dn = jnp.where(jnp.abs(dn) < 1e-9, 1e-9, dn)
+        t = _dot(cc.center[None] - o_, cc.normal[None]) / safe_dn
+        q = o_ + t[..., None] * d_ - cc.center[None]
+        r_ref = jnp.maximum(cc.radius[None], 1e-30)
+        margin = (r_ref - jnp.sqrt(_dot(q, q) + 1e-30)) / r_ref
+        occ = jax.nn.sigmoid(margin * inv_beta)
+        occ = jnp.where(in_window(t) & (jnp.abs(dn) > 1e-9), occ, 0.0)
+        vis = vis * jnp.prod(1.0 - occ, axis=1)
 
     return vis

@@ -61,6 +61,17 @@ def shard_photons(pos, power, dir_code, valid, mesh: Mesh):
     global photon array.
     """
     from jax.sharding import NamedSharding
+    procs = {dev.process_index for dev in mesh.devices.flat}
+    if len(procs) > 1:
+        # device_put of a host-local array onto a non-fully-addressable
+        # sharding raises deep inside XLA; fail with guidance instead.
+        # Multi-host sharded maps need per-process shard assembly
+        # (jax.make_array_from_process_local_data) driven by a
+        # process-local photon trace — not wired up yet.
+        raise ValueError(
+            "shard_photons requires a single-process mesh; for multi-host "
+            "runs trace photons per process and shard over the "
+            "host-local mesh")
     d = int(mesh.devices.size)
     n = pos.shape[0]
     n_pad = -(-max(n, 1) // (d * 8)) * (d * 8)

@@ -49,7 +49,11 @@ NB = 64      # threshold edges per refinement level (resolution cap^2/NB^2)
 DISK, CONE, GAUSS = 0, 1, 2
 
 
-def _gather_kernel(wlo_ref, wnch_ref,         # scalar prefetch [nb, 9] i32
+def _gather_kernel(wlo_ref, wnch_ref,         # scalar prefetch [nb*9] i32
+                                              # (FLAT: SMEM pads the last
+                                              # dim to 128 lanes, so [nb,9]
+                                              # would cost nb*512 B and OOM
+                                              # the 1 MB SMEM at nb>=1024)
                    q_ref,                      # [QB, 16] f32 query pack
                    se_ref,                     # [QB, 64] i32 starts/ends
                    sc_ref,                     # [QB, 32] f32 decim scales
@@ -88,8 +92,8 @@ def _gather_kernel(wlo_ref, wnch_ref,         # scalar prefetch [nb, 9] i32
         """Run chunk_fn(d2, found, scale, buf) over every window chunk of
         every one of the 9 ranges."""
         for run in range(9):
-            w_lo = wlo_ref[i, run]
-            n_ch = wnch_ref[i, run]
+            w_lo = wlo_ref[i * 9 + run]
+            n_ch = wnch_ref[i * 9 + run]
 
             def chunk_body(j, _):
                 start = pl.multiple_of(w_lo + j * WCH, WCH)
@@ -232,7 +236,7 @@ def _gather_kernel(wlo_ref, wnch_ref,         # scalar prefetch [nb, 9] i32
                      "interpret"))
 def _gather_call(wlo, wnch, qpack, se, sc, photons, *, K, cap2, filter_type,
                  f_a, f_b, f_k, interpret=False):
-    nb = wlo.shape[0]
+    nb = wlo.shape[0] // 9
     B = qpack.shape[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -348,7 +352,7 @@ def estimate_radiance_pallas(grid, point, normal, exact_bounce, cos_theta,
     wlo = run_lo.astype(jnp.int32)
 
     out = _gather_call(
-        wlo, wnch, qpack, se, sc, grid.packed,
+        wlo.reshape(-1), wnch.reshape(-1), qpack, se, sc, grid.packed,
         K=int(estimate_size), cap2=cap2, filter_type=int(filter_type),
         f_a=float(cfg.filter_const_a), f_b=float(cfg.filter_const_b),
         f_k=float(cfg.filter_const_k), interpret=interpret)
