@@ -34,22 +34,24 @@ from .mesh import AXIS
 
 def emit_round_sharded(scene: Scene, cfg: RenderConfig, key, counts: tuple,
                        map_type: int, cap: int, mesh: Mesh,
-                       cone_axis=None, cone_cos=None, weight=None):
+                       cone_axis=None, cone_cos=None, weight=None,
+                       narrow_div: int = 8):
     """One emission round on every device of the mesh.
 
     The caustic projection-map cone parameters (photon.trace._emission_cones)
     are replicated, like the scene.  Returns (pos [n_dev*cap, 3],
     power [n_dev*cap, 3], dir_code [n_dev*cap], counts_per_device [n_dev]
-    int32): device i's stored photons occupy the prefix
-    [i*cap, i*cap + counts[i]) of the stacked buffers.
+    int32, lost_per_device [n_dev] int32): device i's stored photons occupy
+    the prefix [i*cap, i*cap + counts[i]) of the stacked buffers.
     """
     def body(scene_, key_, ca_, cc_, w_):
         k = jax.random.fold_in(key_, jax.lax.axis_index(AXIS))
-        bp, bw, bd, cnt = emit_round(scene_, cfg, k, counts, map_type, cap,
-                                     ca_, cc_, w_)
-        return bp, bw, bd, cnt[None]
+        bp, bw, bd, cnt, lost = emit_round(scene_, cfg, k, counts, map_type,
+                                           cap, ca_, cc_, w_,
+                                           narrow_div=narrow_div)
+        return bp, bw, bd, cnt[None], lost[None]
 
     f = shard_map(body, mesh=mesh, in_specs=(P(), P(), P(), P(), P()),
-                  out_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS)),
+                  out_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS)),
                   check_rep=False)
     return f(scene, key, cone_axis, cone_cos, weight)

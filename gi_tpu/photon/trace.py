@@ -224,10 +224,14 @@ def _emit_from_light(scene: Scene, i: int, kind: int, key, n: int,
     return o, d
 
 
-@partial(jax.jit, static_argnames=("cfg", "counts", "map_type", "cap"))
+_STAGE1_DEPTH = 12   # wide-walk bounces before survivor compaction
+
+
+@partial(jax.jit, static_argnames=("cfg", "counts", "map_type", "cap",
+                                   "narrow_div"))
 def emit_round(scene: Scene, cfg: RenderConfig, key, counts: tuple,
                map_type: int, cap: int, cone_axis=None, cone_cos=None,
-               weight=None):
+               weight=None, narrow_div: int = 8):
     """Trace one emission round.
 
     counts[i] photons from light i (static).  `cone_axis [L,3]`,
@@ -236,7 +240,9 @@ def emit_round(scene: Scene, cfg: RenderConfig, key, counts: tuple,
     `weight` folding the per-light virtual-emission share into the
     initial photon power so the host's single global power normalization
     stays exact.  Returns (pos [cap,3], power [cap,3], dir_code [cap],
-    n_wanted_stores) — n_wanted_stores can exceed cap (overflow detect).
+    n_wanted_stores, n_lost_lanes): n_wanted_stores can exceed cap and
+    n_lost_lanes counts survivors dropped at the stage-2 compaction — the
+    host discards the round and retries on either (exactness protocol).
     """
     os_, ds_, ps_ = [], [], []
     for i, kind in enumerate(scene.lights.kind):
@@ -262,15 +268,19 @@ def emit_round(scene: Scene, cfg: RenderConfig, key, counts: tuple,
     store0 = (map_type == MAP_GLOBAL) and not cfg.fast_global
     eps = 1e-4 * scene.radius
 
-    buf_pos = jnp.zeros((cap, 3))
-    buf_pow = jnp.zeros((cap, 3))
-    buf_dir = jnp.zeros((cap,), jnp.int32)
+    # Store buffers are SEPARATE 1-D arrays per component: XLA lays a
+    # [cap,3] scatter target out transposed-tiled ({0,1:T(4,128)}) and the
+    # per-iteration scatter into it runs ~15x slower than the natural 1-D
+    # T(1024) layout (profiled on v5e: 9.7 s vs 0.65 s over a 128-deep
+    # 1M-lane walk).
+    bufs = tuple(jnp.zeros((cap,)) for _ in range(6)) + (
+        jnp.zeros((cap,), jnp.int32),)
 
     state = dict(
         key=key, o=o, d=d, power=power,
         alive=jnp.ones((R,), bool),
         store=jnp.full((R,), store0),
-        buf_pos=buf_pos, buf_pow=buf_pow, buf_dir=buf_dir,
+        bufs=bufs,
         count=jnp.asarray(0, jnp.int32),
         depth=jnp.asarray(0, jnp.int32),
     )
@@ -279,6 +289,7 @@ def emit_round(scene: Scene, cfg: RenderConfig, key, counts: tuple,
         return (s["depth"] < cfg.max_photon_depth) & jnp.any(s["alive"])
 
     def body(s):
+        B = s["o"].shape[0]
         key, k_rr, k_dir, k_spec = jax.random.split(s["key"], 4)
         hit = intersect_scene(scene, s["o"], s["d"], t_min=0.0)
         live = s["alive"] & hit.valid
@@ -299,15 +310,16 @@ def emit_round(scene: Scene, cfg: RenderConfig, key, counts: tuple,
         want = live & is_d & s["store"]
         offset = jnp.cumsum(want.astype(jnp.int32)) - 1
         slot = jnp.where(want, s["count"] + offset, cap)  # cap -> dropped
-        buf_pos = s["buf_pos"].at[slot].set(hit.point, mode="drop")
-        buf_pow = s["buf_pow"].at[slot].set(s["power"], mode="drop")
-        buf_dir = s["buf_dir"].at[slot].set(
-            S.encode_direction(view).astype(jnp.int32), mode="drop")
+        cols = (hit.point[:, 0], hit.point[:, 1], hit.point[:, 2],
+                s["power"][:, 0], s["power"][:, 1], s["power"][:, 2],
+                S.encode_direction(view).astype(jnp.int32))
+        bufs = tuple(b.at[slot].set(c, mode="drop")
+                     for b, c in zip(s["bufs"], cols))
         count = s["count"] + jnp.sum(want, dtype=jnp.int32)
 
         # ---- Russian roulette with photon-colored probabilities
         # (photontracer.cpp:87-95: prob ~ max(brdf*photon)/max(photon))
-        r_coeff = jnp.zeros((R,))
+        r_coeff = jnp.zeros((B,))
         if cfg.fresnel:
             r_coeff = jnp.where(
                 is_transp,
@@ -319,17 +331,17 @@ def emit_round(scene: Scene, cfg: RenderConfig, key, counts: tuple,
         prob_t = prob_t0 * (1.0 - r_coeff)
         prob_total = prob_d + prob_t + prob_s + cfg.prob_absorb
 
-        u_rr = jax.random.uniform(k_rr, (R,))
+        u_rr = jax.random.uniform(k_rr, (B,))
         rand = jnp.where(prob_total > 1.0, u_rr * prob_total, u_rr)
         take_d = rand < prob_d
         take_t = (~take_d) & (rand < prob_d + prob_t)
         take_s = (~take_d) & (~take_t) & (rand < prob_d + prob_t + prob_s)
 
         # diffuse bounce (terminates caustic traces)
-        u_dir = jax.random.uniform(k_dir, (R, 2))
+        u_dir = jax.random.uniform(k_dir, (B, 2))
         cosine_dir = S.diffuse_importance_sample(hit.normal, cos_theta,
                                                  u_dir[:, 0], u_dir[:, 1])
-        die = jnp.zeros((R,), bool)
+        die = jnp.zeros((B,), bool)
         new_d = s["d"]
         new_pow = s["power"]
         new_store = s["store"]
@@ -351,7 +363,7 @@ def emit_round(scene: Scene, cfg: RenderConfig, key, counts: tuple,
         exact_t = S.transmissive_bounce(hit.normal, view, cos_theta, ir,
                                         cfg.ir_air)
         if cfg.distrib_transmissive:
-            u_s = jax.random.uniform(k_spec, (R, 2))
+            u_s = jax.random.uniform(k_spec, (B, 2))
             smp_t = S.specular_importance_sample(exact_t, shin, cos_theta,
                                                  u_s[:, 0], u_s[:, 1])
         else:
@@ -367,7 +379,7 @@ def emit_round(scene: Scene, cfg: RenderConfig, key, counts: tuple,
         exact_s = S.reflective_bounce(hit.normal, view, cos_theta)
         if cfg.distrib_specular:
             key, k2 = jax.random.split(key)
-            u_s2 = jax.random.uniform(k2, (R, 2))
+            u_s2 = jax.random.uniform(k2, (B, 2))
             smp_s = S.specular_importance_sample(exact_s, shin, cos_theta,
                                                  u_s2[:, 0], u_s2[:, 1])
         else:
@@ -385,12 +397,59 @@ def emit_round(scene: Scene, cfg: RenderConfig, key, counts: tuple,
         alive = live & ~die & ~absorbed
         new_o = jnp.where(alive[:, None], hit.point + new_d * eps, s["o"])
         return dict(key=key, o=new_o, d=new_d, power=new_pow, alive=alive,
-                    store=new_store, buf_pos=buf_pos, buf_pow=buf_pow,
-                    buf_dir=buf_dir, count=count, depth=s["depth"] + 1)
+                    store=new_store, bufs=bufs, count=count,
+                    depth=s["depth"] + 1)
 
-    final = jax.lax.while_loop(cond, body, state)
-    return (final["buf_pos"], final["buf_pow"], final["buf_dir"],
-            final["count"])
+    # Staged walk with survivor compaction: nearly every walk ends within
+    # a few bounces (a caustic photon stores at its first diffuse hit),
+    # but a handful of lanes — total-internal-reflection loops in glass —
+    # survive toward max_photon_depth, and a while_loop pays FULL width
+    # for every iteration any lane is alive (measured on v5e: stores
+    # converge by depth ~16, yet depth 128 cost 8x depth 16).  So the walk
+    # runs in stages: _STAGE1_DEPTH bounces at full width, then the
+    # survivors are compacted (masked prefix gather — the same trick as
+    # the store buffers) into an R/narrow_div buffer for the next
+    # _STAGE1_DEPTH bounces, then compacted again into R/(8*narrow_div)
+    # for the rest.  Exact: survivors that overflow a narrow buffer are
+    # counted in `lost` and the host discards + retries the round with a
+    # wider tail (same protocol as the store-cap overflow).
+    def compact(st, NW):
+        alive = st["alive"]
+        n_alive = jnp.sum(alive, dtype=jnp.int32)
+        lost = jnp.maximum(n_alive - NW, 0)
+        w = alive.shape[0]
+        idx = jnp.nonzero(alive, size=NW, fill_value=w)[0]
+        lane_ok = idx < w
+        cidx = jnp.clip(idx, 0, w - 1)
+        st2 = dict(key=st["key"], o=st["o"][cidx], d=st["d"][cidx],
+                   power=st["power"][cidx],
+                   alive=st["alive"][cidx] & lane_ok,
+                   store=st["store"][cidx], bufs=st["bufs"],
+                   count=st["count"], depth=st["depth"])
+        return st2, lost
+
+    def staged_cond(limit):
+        def c(s):
+            return (s["depth"] < limit) & jnp.any(s["alive"])
+        return c
+
+    d1 = min(cfg.max_photon_depth, _STAGE1_DEPTH)
+    st = jax.lax.while_loop(staged_cond(d1), body, state)
+    lost = jnp.asarray(0, jnp.int32)
+
+    if cfg.max_photon_depth > d1:
+        d2 = min(cfg.max_photon_depth, 2 * _STAGE1_DEPTH)
+        st, l1 = compact(st, max(1024, R // narrow_div))
+        st = jax.lax.while_loop(staged_cond(d2), body, st)
+        lost = lost + l1
+        if cfg.max_photon_depth > d2:
+            st, l2 = compact(st, max(1024, R // (8 * narrow_div)))
+            st = jax.lax.while_loop(cond, body, st)
+            lost = lost + l2
+
+    fb = st["bufs"]
+    return (jnp.stack(fb[0:3], axis=-1), jnp.stack(fb[3:6], axis=-1),
+            fb[6], st["count"], lost)
 
 
 def _scene_bbox(scene: Scene):
@@ -532,6 +591,7 @@ def trace_photon_map(scene: Scene, cfg: RenderConfig, key, map_type: int,
     emitted_real = 0    # photons actually traced (drives rung escalation)
     attempts = 40
     overflow_rounds = 0
+    narrow_div = 8
     t0 = time.time()
     while stored < goal and attempts > 0:
         if h_pos is None or buf_cap < goal + cap * n_dev:
@@ -541,28 +601,35 @@ def trace_photon_map(scene: Scene, cfg: RenderConfig, key, map_type: int,
             h_dir = _grow(h_dir, stored, (buf_cap,), np.int32)
         key, sub = jax.random.split(key)
         if mesh is None:
-            bp, bw, bd, cnt = emit_round(scene, cfg, sub, counts, map_type,
-                                         cap, cone_axis, cone_cos, weight)
+            bp, bw, bd, cnt, lost = emit_round(scene, cfg, sub, counts,
+                                               map_type, cap, cone_axis,
+                                               cone_cos, weight,
+                                               narrow_div=narrow_div)
             per_dev = [int(cnt)]
+            n_lost = int(lost)
         else:
             from ..parallel.photon import emit_round_sharded
-            bp, bw, bd, cnts = emit_round_sharded(scene, cfg, sub, counts,
-                                                  map_type, cap, mesh,
-                                                  cone_axis, cone_cos,
-                                                  weight)
+            bp, bw, bd, cnts, losts = emit_round_sharded(
+                scene, cfg, sub, counts, map_type, cap, mesh,
+                cone_axis, cone_cos, weight, narrow_div=narrow_div)
             per_dev = [int(c) for c in np.asarray(cnts)]
-        if any(n > cap for n in per_dev):
-            # Buffer overflow: scattering dropped stores past `cap`, which
-            # would dim-bias photon_power = total_power/emitted.  Discard
-            # the WHOLE round (its emissions count for nothing) and retry
-            # with a doubled cap — exact, and rare enough that the extra
-            # compile does not matter.
+            n_lost = int(np.sum(np.asarray(losts)))
+        if any(n > cap for n in per_dev) or n_lost > 0:
+            # Buffer overflow (stores past `cap`, or walk survivors past
+            # the stage-2 compaction width): either would silently lose
+            # flux and dim-bias photon_power = total_power/emitted.
+            # Discard the WHOLE round (its emissions count for nothing)
+            # and retry with a doubled cap / widened tail — exact, and
+            # rare enough that the extra compile does not matter.
             overflow_rounds += 1
             if overflow_rounds > 6:
                 raise RuntimeError(
-                    f"photon round overflows cap {cap} even after "
-                    f"{overflow_rounds - 1} doublings")
-            cap_factor *= 2
+                    f"photon round overflows (cap {cap}, lost {n_lost}) "
+                    f"even after {overflow_rounds - 1} retries")
+            if n_lost > 0:
+                narrow_div = max(1, narrow_div // 2)
+            else:
+                cap_factor *= 2
             counts, R, cap, e_round, weight = _setup(_SIZES[size_i],
                                                      cap_factor)
             continue

@@ -104,3 +104,21 @@ def test_dispatch_via_pallas_mode():
     finally:
         set_pallas_mode("auto")
     np.testing.assert_allclose(routed, direct, rtol=1e-6)
+
+
+def test_query_chunking_matches_single_call(monkeypatch):
+    """Batches beyond _QCHUNK are sliced around the kernel (SMEM window
+    tables scale with query count); the sliced path must equal the
+    single-call path.  _QCHUNK is shrunk so interpret mode stays cheap."""
+    from gi_tpu.photon import pallas_gather as PG
+
+    rng = np.random.default_rng(11)
+    grid = _mkgrid(rng, 3000, dist=0.08)
+    q = _queries(rng, 700)
+
+    want = np.asarray(estimate_radiance_pallas(
+        grid, *q, 16, 0.08, 0, CFG, interpret=True))
+    monkeypatch.setattr(PG, "_QCHUNK", 256)
+    got = np.asarray(estimate_radiance_pallas(
+        grid, *q, 16, 0.08, 0, CFG, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-7)

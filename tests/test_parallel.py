@@ -48,7 +48,7 @@ def test_emit_round_sharded_buffers(cornell_scene):
     cfg = _cfg()
     counts = (64,) * cornell_scene.n_lights
     cap = 8 * sum(counts)
-    bp, bw, bd, cnts = emit_round_sharded(
+    bp, bw, bd, cnts, _ = emit_round_sharded(
         cornell_scene, cfg, jax.random.PRNGKey(3), counts, MAP_GLOBAL, cap,
         mesh)
     cnts = np.asarray(cnts)
@@ -78,14 +78,14 @@ def test_emit_round_sharded_matches_single_device_stats(cornell_scene):
     counts = (128,) * cornell_scene.n_lights
     cap = 8 * sum(counts)
     mesh = device_mesh(8, platform="cpu")
-    _, _, _, cnts = emit_round_sharded(
+    _, _, _, cnts, _ = emit_round_sharded(
         cornell_scene, cfg, jax.random.PRNGKey(5), counts, MAP_GLOBAL, cap,
         mesh)
     rate_sharded = float(np.sum(np.asarray(cnts))) / (8 * sum(counts))
 
     single = 0
     for s in range(4):
-        _, _, _, cnt = emit_round(cornell_scene, cfg, jax.random.PRNGKey(s),
+        _, _, _, cnt, _ = emit_round(cornell_scene, cfg, jax.random.PRNGKey(s),
                                   counts, MAP_GLOBAL, cap)
         single += int(cnt)
     rate_single = single / (4 * sum(counts))

@@ -149,7 +149,7 @@ def test_caustic_emission_round(cornell_scene):
     cfg = RenderConfig(max_photon_depth=24)
     key = jax.random.PRNGKey(0)
     counts = (8192,)
-    pos, power, code, cnt = emit_round(cornell_scene, cfg, key, counts,
+    pos, power, code, cnt, _ = emit_round(cornell_scene, cfg, key, counts,
                                        MAP_CAUSTIC, 4 * 8192)
     n = int(cnt)
     assert n > 50, "caustic paths through the glass sphere must store"
@@ -295,7 +295,7 @@ def test_emit_round_overflow_detectable(cornell_scene):
     cfg = RenderConfig(max_photon_depth=16)
     counts = (4096,)
     cap = 128  # deliberately undersized: cornell stores >> 128 global photons
-    pos, power, code, cnt = emit_round(cornell_scene, cfg,
+    pos, power, code, cnt, _ = emit_round(cornell_scene, cfg,
                                        jax.random.PRNGKey(0), counts,
                                        MAP_GLOBAL, cap)
     assert int(cnt) > cap, "wanted-store count must survive the drop"
