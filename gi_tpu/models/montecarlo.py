@@ -145,16 +145,24 @@ def mc_walk(scene: Scene, cfg: RenderConfig, key, o, d, weight, phase, alive,
     from ..photon.gather import ShardedMaps
 
     B = o.shape[0]
-    defer = isinstance(photon_maps, ShardedMaps)
-    if defer:
-        caustic_grid = photon_maps.caustic_rep
-        global_grid = photon_maps.global_rep
-        defer_caustic = photon_maps.caustic is not None
-        defer_global = photon_maps.global_ is not None
+    # Photon-map estimates are ALWAYS deferred into request queues and
+    # answered after the walk with one batched gather per map — running
+    # the gather inside the loop would pay a full-batch kNN every
+    # iteration for the handful of lanes that want one (and for sharded
+    # maps a collective cannot sit inside the data-dependent while_loop
+    # at all).
+    sharded = isinstance(photon_maps, ShardedMaps)
+    if sharded:
+        defer_caustic = (photon_maps.caustic is not None
+                         or photon_maps.caustic_rep is not None)
+        defer_global = (photon_maps.global_ is not None
+                        or photon_maps.global_rep is not None)
     else:
-        caustic_grid = photon_maps.caustic if photon_maps is not None else None
-        global_grid = photon_maps.global_ if photon_maps is not None else None
-        defer_caustic = defer_global = False
+        defer_caustic = (photon_maps is not None
+                         and photon_maps.caustic is not None)
+        defer_global = (photon_maps is not None
+                        and photon_maps.global_ is not None)
+    defer = defer_caustic or defer_global
     if defer:
         if out_row is None:
             out_row = jnp.arange(B, dtype=jnp.int32)
@@ -216,21 +224,10 @@ def mc_walk(scene: Scene, cfg: RenderConfig, key, o, d, weight, phase, alive,
             key, k_direct = jax.random.split(key)
             buffer = shade_direct(scene, cfg, k_direct, hit, s.o, buffer,
                                   in_monte_carlo=True)
-            if cfg.caustic_illum and caustic_grid is not None:
-                exact = S.reflective_bounce(hit.normal, view, cos_theta)
-                caus = gather.estimate_radiance(
-                    caustic_grid, hit.point, hit.normal, exact,
-                    cos_theta, kd, ks, shin,
-                    cfg.caustic_estimate_size, cfg.caustic_estimate_dist,
-                    cfg.caustic_filter, cfg)
-                is_d_ = jnp.any(kd > 0, axis=-1)
-                buffer = buffer + jnp.where(is_d_[:, None], caus, 0.0)
-                counters = counters.at[ST.CAUSTIC].add(
-                    jnp.sum(in_path & is_d_, dtype=jnp.int32))
-            elif cfg.caustic_illum and defer_caustic:
+            if cfg.caustic_illum and defer_caustic:
                 # deferred: contribution is buffer-term * s.weight, so the
                 # queued weight folds throughput and the caller's per-group
-                # scale; answered by the ring gather after the walk
+                # scale; answered by one batched gather after the walk
                 exact = S.reflective_bounce(hit.normal, view, cos_theta)
                 is_d_ = jnp.any(kd > 0, axis=-1)
                 want = in_path & is_d_
@@ -275,19 +272,7 @@ def mc_walk(scene: Scene, cfg: RenderConfig, key, o, d, weight, phase, alive,
                                                  u_dir[:, 0], u_dir[:, 1])
         safe_pd = jnp.maximum(prob_d, 1e-12)
 
-        glob_est = None
-        if global_grid is not None:
-            exact = S.reflective_bounce(hit.normal, view, cos_theta)
-            if cfg.irradiance_cache:
-                glob_est = gather.estimate_cached_radiance(
-                    global_grid, hit.point, hit.normal, exact,
-                    cos_theta, kd, ks, shin, cfg.global_estimate_dist)
-            else:
-                glob_est = gather.estimate_radiance(
-                    global_grid, hit.point, hit.normal, exact,
-                    cos_theta, kd, ks, shin, cfg.global_estimate_size,
-                    cfg.global_estimate_dist, cfg.global_filter, cfg)
-        have_global = glob_est is not None or defer_global
+        have_global = defer_global
 
         new_phase = s.phase
         new_weight = s.weight
@@ -309,21 +294,13 @@ def mc_walk(scene: Scene, cfg: RenderConfig, key, o, d, weight, phase, alive,
             new_d = jnp.where(trans[:, None], cosine_dir, new_d)
             glob_want = d_ind
         elif cfg.fast_global and have_global:
-            if glob_est is not None:
-                color = color + jnp.where(
-                    d_path[:, None],
-                    glob_est * kd * s.weight / safe_pd[:, None], 0.0)
             die = die | d_path
-            glob_want = d_ind | (d_path if defer_global else False)
+            glob_want = d_ind | d_path
         else:
             die = die | d_path
             glob_want = d_ind
 
-        if glob_est is not None:
-            color = color + jnp.where(
-                d_ind[:, None],
-                glob_est * kd * s.weight / safe_pd[:, None], 0.0)
-        elif defer_global:
+        if defer_global:
             exact = S.reflective_bounce(hit.normal, view, cos_theta)
             gq = _enqueue(gq, glob_want, hit.point, hit.normal, exact,
                           cos_theta, kd, ks, shin,
@@ -416,15 +393,26 @@ def shade_secondary(scene: Scene, cfg: RenderConfig, key, hit, ray_o, ray_d,
 
     Returns (color, counters[ST.N_COUNTERS] int32); with a ShardedMaps,
     (color, counters, caustic_queue, global_queue) — the caller runs the
-    ring gathers and scatter-adds `est * weight` at queue rows."""
+    ring gathers and scatter-adds `est * weight` at queue rows.
+
+    Photon-map estimates (walk-internal AND primary-hit) are deferred
+    into GatherQueues; with replicated maps they are answered right here
+    with one batched local gather per map, so the expensive kNN runs once
+    per tile on exactly the requests that exist instead of once per walk
+    bounce over every lane."""
     from ..photon.gather import ShardedMaps
-    defer = isinstance(photon_maps, ShardedMaps)
-    if defer:
+    sharded = isinstance(photon_maps, ShardedMaps)
+    if sharded:
         caustic_grid = photon_maps.caustic_rep
         global_grid = photon_maps.global_rep
+        has_caustic = photon_maps.caustic is not None or caustic_grid is not None
+        has_global = photon_maps.global_ is not None or global_grid is not None
     else:
         caustic_grid = photon_maps.caustic if photon_maps is not None else None
         global_grid = photon_maps.global_ if photon_maps is not None else None
+        has_caustic = caustic_grid is not None
+        has_global = global_grid is not None
+    defer = has_caustic or has_global
     cq = gq = None
 
     counters = jnp.zeros((ST.N_COUNTERS,), jnp.int32)
@@ -538,16 +526,7 @@ def shade_secondary(scene: Scene, cfg: RenderConfig, key, hit, ray_o, ray_d,
 
     # Caustic estimate at the primary hit (raytracer.cpp:138-149)
     prim_row = jnp.arange(B, dtype=jnp.int32)
-    if cfg.caustic_illum and caustic_grid is not None:
-        exact = S.reflective_bounce(hit.normal, view, cos_theta)
-        caus = gather.estimate_radiance(
-            caustic_grid, hit.point, hit.normal, exact, cos_theta,
-            kd, ks, shin, cfg.caustic_estimate_size,
-            cfg.caustic_estimate_dist, cfg.caustic_filter, cfg)
-        color = color + jnp.where((hit.valid & is_d)[:, None], caus, 0.0)
-        counters = counters.at[ST.CAUSTIC].add(
-            jnp.sum(hit.valid & is_d, dtype=jnp.int32))
-    elif cfg.caustic_illum and defer and photon_maps.caustic is not None:
+    if cfg.caustic_illum and has_caustic:
         if cq is None:
             cq = _empty_queue(B)
         exact = S.reflective_bounce(hit.normal, view, cos_theta)
@@ -559,26 +538,37 @@ def shade_secondary(scene: Scene, cfg: RenderConfig, key, hit, ray_o, ray_d,
 
     # Direct photon-map visualization / fast-global layer
     # (raytracer.cpp:151-167, gated by -photon_viz/-fast_global)
-    if cfg.direct_photon_illum and global_grid is not None:
-        exact = S.reflective_bounce(hit.normal, view, cos_theta)
-        if cfg.irradiance_cache:
-            g = gather.estimate_cached_radiance(
-                global_grid, hit.point, hit.normal, exact, cos_theta,
-                kd, ks, shin, cfg.global_estimate_dist)
-        else:
-            g = gather.estimate_radiance(
-                global_grid, hit.point, hit.normal, exact, cos_theta,
-                kd, ks, shin, cfg.global_estimate_size,
-                cfg.global_estimate_dist, cfg.global_filter, cfg)
-        color = color + jnp.where((hit.valid & is_d)[:, None], g, 0.0)
-    elif cfg.direct_photon_illum and defer \
-            and photon_maps.global_ is not None:
+    if cfg.direct_photon_illum and has_global:
         if gq is None:
             gq = _empty_queue(B)
         exact = S.reflective_bounce(hit.normal, view, cos_theta)
         gq = _enqueue(gq, hit.valid & is_d, hit.point, hit.normal, exact,
                       cos_theta, kd, ks, shin, jnp.ones((B, 3)), prim_row)
 
-    if defer:
+    if sharded:
         return color, counters, cq, gq
+
+    # Replicated maps: answer the queues locally, one batched gather per
+    # map; scatter-add est*weight at the recorded rows.
+    if cq is not None:
+        est = gather.estimate_radiance(
+            caustic_grid, cq.point, cq.normal, cq.bounce, cq.ct,
+            cq.kd, cq.ks, cq.shin, cfg.caustic_estimate_size,
+            cfg.caustic_estimate_dist, cfg.caustic_filter, cfg)
+        color = color.at[cq.row].add(est * cq.weight, mode="drop")
+        counters = counters.at[ST.DROPPED_GATHER].add(
+            jnp.maximum(cq.count - cq.cap, 0))
+    if gq is not None:
+        if cfg.irradiance_cache:
+            est = gather.estimate_cached_radiance(
+                global_grid, gq.point, gq.normal, gq.bounce, gq.ct,
+                gq.kd, gq.ks, gq.shin, cfg.global_estimate_dist)
+        else:
+            est = gather.estimate_radiance(
+                global_grid, gq.point, gq.normal, gq.bounce, gq.ct,
+                gq.kd, gq.ks, gq.shin, cfg.global_estimate_size,
+                cfg.global_estimate_dist, cfg.global_filter, cfg)
+        color = color.at[gq.row].add(est * gq.weight, mode="drop")
+        counters = counters.at[ST.DROPPED_GATHER].add(
+            jnp.maximum(gq.count - gq.cap, 0))
     return color, counters

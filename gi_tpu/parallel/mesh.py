@@ -114,10 +114,23 @@ def render_tile_mapsharded(scene: Scene, cfg: RenderConfig, key,
                 cfg.caustic_filter, cfg, n_dev)
             color = color.at[cq.row].add(est * cq.weight, mode="drop")
         if gq is not None:
-            est = ring_radiance_queries(
-                ga_, gq.point, gq.normal, gq.bounce, gq.ct, gq.kd, gq.ks,
-                gq.shin, cfg.global_estimate_size, cfg.global_estimate_dist,
-                cfg.global_filter, cfg, n_dev)
+            if ga_ is not None:
+                est = ring_radiance_queries(
+                    ga_, gq.point, gq.normal, gq.bounce, gq.ct, gq.kd,
+                    gq.ks, gq.shin, cfg.global_estimate_size,
+                    cfg.global_estimate_dist, cfg.global_filter, cfg, n_dev)
+            else:
+                # replicated global map (irradiance cache): local answer
+                from ..photon import gather as G
+                if cfg.irradiance_cache:
+                    est = G.estimate_cached_radiance(
+                        gr_, gq.point, gq.normal, gq.bounce, gq.ct,
+                        gq.kd, gq.ks, gq.shin, cfg.global_estimate_dist)
+                else:
+                    est = G.estimate_radiance(
+                        gr_, gq.point, gq.normal, gq.bounce, gq.ct,
+                        gq.kd, gq.ks, gq.shin, cfg.global_estimate_size,
+                        cfg.global_estimate_dist, cfg.global_filter, cfg)
             color = color.at[gq.row].add(est * gq.weight, mode="drop")
         n_dof = cfg.dof_test if cfg.depth_of_field else 1
         B = idx_.shape[0]

@@ -277,9 +277,41 @@ def estimate_radiance_pallas(grid, point, normal, exact_bounce, cos_theta,
                              kd, ks, shin, estimate_size, estimate_dist,
                              filter_type, cfg, interpret: bool = False):
     """Pallas-kernel radiance estimate; same contract as
-    gather.estimate_radiance.  Wrapper: sort queries by cell, derive the 27
-    per-cell photon intervals + decimation scales and the 9 per-block
-    superwindows, launch the kernel, unsort."""
+    gather.estimate_radiance.
+
+    Query batches beyond _QCHUNK are sliced and processed independently
+    (lax.map) BEFORE the cell sort: the per-slice argsort keeps XLA's
+    sort temporaries bounded (a single argsort over millions of walk-lane
+    queries materialized a 1 GB padded temp on v5e), and the SMEM window
+    tables scale with the per-call block count.  Each slice sorts its own
+    queries by cell, derives the 27 per-cell photon intervals and the 9
+    per-block superwindows, launches the kernel, and unsorts."""
+    B = point.shape[0]
+    args = (point, normal, exact_bounce, cos_theta, kd, ks, shin)
+    if B > _QCHUNK:
+        pad = (-B) % _QCHUNK
+
+        def padz(x):
+            return jnp.pad(x, [(0, pad)] + [(0, 0)] * (x.ndim - 1))
+
+        stacked = tuple(
+            padz(a).reshape((B + pad) // _QCHUNK, _QCHUNK, *a.shape[1:])
+            for a in args)
+        out = jax.lax.map(
+            lambda xs: _pallas_chunk(grid, *xs, estimate_size=estimate_size,
+                                     estimate_dist=estimate_dist,
+                                     filter_type=filter_type, cfg=cfg,
+                                     interpret=interpret), stacked)
+        return out.reshape(-1, 3)[:B]
+    return _pallas_chunk(grid, *args, estimate_size=estimate_size,
+                         estimate_dist=estimate_dist,
+                         filter_type=filter_type, cfg=cfg,
+                         interpret=interpret)
+
+
+def _pallas_chunk(grid, point, normal, exact_bounce, cos_theta,
+                  kd, ks, shin, *, estimate_size, estimate_dist,
+                  filter_type, cfg, interpret):
     nx, ny, nz = grid.dims
     N = grid.pos.shape[0]
     B = point.shape[0]
@@ -341,48 +373,21 @@ def estimate_radiance_pallas(grid, point, normal, exact_bounce, cos_theta,
         [scales, jnp.zeros((B, 5), jnp.float32)], axis=1).astype(
             jnp.float32), ((0, pad), (0, 0)))
 
-    def window_tables(se_c):
-        nb = se_c.shape[0] // QB
-        s_blk = jnp.where(se_c[:, :27] >= BIG, BIG,
-                          se_c[:, :27]).reshape(nb, QB, 27)
-        e_blk = se_c[:, 27:54].reshape(nb, QB, 27)
-        run_lo = jnp.min(s_blk.reshape(nb, QB, 9, 3), axis=(1, 3))
-        run_hi = jnp.max(e_blk.reshape(nb, QB, 9, 3), axis=(1, 3))
-        # Mosaic requires lane-tile-aligned HBM slices: round window starts
-        # down to the chunk width (the extra lanes mask out in-kernel).
-        run_lo = (jnp.minimum(run_lo, N) // WCH) * WCH
-        wlen = jnp.maximum(run_hi - run_lo, 0)
-        wnch = ((wlen + WCH - 1) // WCH).astype(jnp.int32)
-        return run_lo.astype(jnp.int32).reshape(-1), wnch.reshape(-1)
+    nb = (B + pad) // QB
+    s_blk = jnp.where(se[:, :27] >= BIG, BIG, se[:, :27]).reshape(nb, QB, 27)
+    e_blk = se[:, 27:54].reshape(nb, QB, 27)
+    run_lo = jnp.min(s_blk.reshape(nb, QB, 9, 3), axis=(1, 3))
+    run_hi = jnp.max(e_blk.reshape(nb, QB, 9, 3), axis=(1, 3))
+    # Mosaic requires lane-tile-aligned HBM slices: round window starts
+    # down to the chunk width (the extra lanes mask out in-kernel).
+    run_lo = (jnp.minimum(run_lo, N) // WCH) * WCH
+    wlen = jnp.maximum(run_hi - run_lo, 0)
+    wnch = ((wlen + WCH - 1) // WCH).astype(jnp.int32)
+    wlo = run_lo.astype(jnp.int32).reshape(-1)
 
-    call = functools.partial(
-        _gather_call, photons=grid.packed,
+    out = _gather_call(
+        wlo, wnch.reshape(-1), qpack, se, sc, grid.packed,
         K=int(estimate_size), cap2=cap2, filter_type=int(filter_type),
         f_a=float(cfg.filter_const_a), f_b=float(cfg.filter_const_b),
         f_k=float(cfg.filter_const_k), interpret=interpret)
-
-    if B + pad <= _QCHUNK:
-        wlo, wnch = window_tables(se)
-        out = call(wlo, wnch, qpack, se, sc)
-    else:
-        # The per-block window tables live in SMEM (1 MB): at nb blocks
-        # they cost 2 * nb*9*4 B, so a multi-million-query batch (walk
-        # lanes) must be fed to the kernel in _QCHUNK-query slices.
-        pad2 = (-(B + pad)) % _QCHUNK
-        qpack, se, sc = (
-            jnp.pad(qpack, ((0, pad2), (0, 0))),
-            jnp.pad(se, ((0, pad2), (0, 0)),
-                    constant_values=0).at[B + pad:, :27].set(BIG),
-            jnp.pad(sc, ((0, pad2), (0, 0))))
-        n_sl = (B + pad + pad2) // _QCHUNK
-
-        def one(xs):
-            q_c, se_c, sc_c = xs
-            wlo, wnch = window_tables(se_c)
-            return call(wlo, wnch, q_c, se_c, sc_c)
-
-        out = jax.lax.map(one, (qpack.reshape(n_sl, _QCHUNK, -1),
-                                se.reshape(n_sl, _QCHUNK, -1),
-                                sc.reshape(n_sl, _QCHUNK, -1)))
-        out = out.reshape(n_sl * _QCHUNK, -1)
     return out[:B, 0:3][inv_order]

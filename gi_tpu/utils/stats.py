@@ -19,8 +19,9 @@ import time
 from dataclasses import dataclass, field
 
 # counter vector indices
-SCREEN, SHADOW, MONTE, TRANSMISSIVE, SPECULAR, INDIRECT, CAUSTIC = range(7)
-N_COUNTERS = 7
+(SCREEN, SHADOW, MONTE, TRANSMISSIVE, SPECULAR, INDIRECT, CAUSTIC,
+ DROPPED_GATHER) = range(8)
+N_COUNTERS = 8
 
 _LABELS = (
     ("# Screen Rays", SCREEN),
@@ -70,6 +71,10 @@ class RenderStats:
                 lines.append(f"  {label} = {self.counts[idx]}")
                 total += self.counts[idx]
         lines.append(f"Total Rays: {total}")
+        if self.counts[DROPPED_GATHER]:
+            lines.append(f"  !! Dropped Gather Requests = "
+                         f"{self.counts[DROPPED_GATHER]} (queue overflow; "
+                         f"photon-map energy missing)")
         if self.seconds > 0:
             lines.append(f"  ({total / self.seconds:,.0f} rays/s)")
         return "\n".join(lines)

@@ -86,8 +86,8 @@ def test_monte_carlo_counts_positive_and_bounded():
 
 def test_render_stats_report_accumulates():
     stats = ST.RenderStats()
-    stats.add(np.array([100, 200, 0, 0, 0, 0, 0], np.int32))
-    stats.add(np.array([50, 25, 0, 0, 0, 0, 0], np.int32))
+    stats.add(np.array([100, 200, 0, 0, 0, 0, 0, 0], np.int32))
+    stats.add(np.array([50, 25, 0, 0, 0, 0, 0, 0], np.int32))
     stats.seconds = 2.0
     cfg = RenderConfig(monte_carlo=False, transmissive_illum=False,
                        specular_illum=False, indirect_illum=False,
