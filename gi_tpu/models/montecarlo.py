@@ -55,39 +55,73 @@ def _shadow_rays_per_light(scene: Scene, cfg: RenderConfig,
 
 @struct.dataclass
 class GatherQueue:
-    """Deferred photon-map radiance requests (P8 sharded-map render).
+    """Deferred photon-map radiance requests.
 
-    When photon maps are device-sharded, estimates inside the walk cannot
-    run where they arise: the ring-exchange gather is a collective, and
-    the walk's `while_loop` trip count is data-dependent per device.  The
-    estimates are additive leaf contributions (caustic per bounce, global
-    at walk termination), so they defer exactly: the walk scatters each
-    request (query geometry + BRDF + the color weight and output row of
-    its contribution) into this fixed-capacity queue by prefix-sum slot —
-    the same lock-free scheme as the photon store buffers — and ONE
-    batched ring gather per map answers them after the walk
-    (parallel/mesh.py::render_tile_mapsharded)."""
-    point: jnp.ndarray    # [C,3] query position
-    normal: jnp.ndarray   # [C,3]
-    bounce: jnp.ndarray   # [C,3] exact reflective bounce (Phong lobe axis)
-    ct: jnp.ndarray       # [C] cos_theta
-    kd: jnp.ndarray       # [C,3]
-    ks: jnp.ndarray       # [C,3]
-    shin: jnp.ndarray     # [C]
-    weight: jnp.ndarray   # [C,3] color += weight * estimate
+    Estimates inside the walk cannot (sharded maps: collectives in a
+    data-dependent while_loop) or should not (one batched kNN per tile
+    beats one per bounce) run where they arise.  They are additive leaf
+    contributions (caustic per bounce, global at walk termination), so
+    they defer exactly: the walk scatters each request (query geometry +
+    BRDF + the color weight and output row of its contribution) into this
+    fixed-capacity queue by prefix-sum slot — the same lock-free scheme
+    as the photon store buffers — and ONE batched gather per map answers
+    them after the walk (shade_secondary locally, or
+    parallel/mesh.py::render_tile_mapsharded by ring exchange).
+
+    Storage is COLUMN-major: a tuple of 1-D arrays.  Scatters into [C,3]
+    arrays get a transposed tiled layout from XLA (~15x slower per the
+    v5e profile of the photon store buffers) and padding multi-million x3
+    temporaries to (8,128) tiles cost 42x memory; 1-D T(1024) columns
+    have neither problem.  The [C,3] views are stacked once at answer
+    time via the properties below."""
+    data: tuple           # 20 1-D f32 columns (layout below)
     row: jnp.ndarray      # [C] int32 output color row
     count: jnp.ndarray    # [] int32 wanted requests (can exceed C)
 
+    # column index layout: point 0-2, normal 3-5, bounce 6-8, ct 9,
+    # kd 10-12, ks 13-15, shin 16, weight 17-19
     @property
     def cap(self) -> int:
-        return self.point.shape[0]
+        return self.data[0].shape[0]
+
+    def _vec3(self, i):
+        return jnp.stack(self.data[i:i + 3], axis=-1)
+
+    @property
+    def point(self):
+        return self._vec3(0)
+
+    @property
+    def normal(self):
+        return self._vec3(3)
+
+    @property
+    def bounce(self):
+        return self._vec3(6)
+
+    @property
+    def ct(self):
+        return self.data[9]
+
+    @property
+    def kd(self):
+        return self._vec3(10)
+
+    @property
+    def ks(self):
+        return self._vec3(13)
+
+    @property
+    def shin(self):
+        return self.data[16]
+
+    @property
+    def weight(self):
+        return self._vec3(17)
 
 
 def _empty_queue(cap: int) -> GatherQueue:
-    z3 = jnp.zeros((cap, 3))
-    z1 = jnp.zeros((cap,))
-    return GatherQueue(point=z3, normal=z3, bounce=z3, ct=z1, kd=z3, ks=z3,
-                       shin=z1, weight=z3,
+    return GatherQueue(data=tuple(jnp.zeros((cap,)) for _ in range(20)),
                        row=jnp.full((cap,), cap, jnp.int32),
                        count=jnp.asarray(0, jnp.int32))
 
@@ -100,15 +134,15 @@ def _enqueue(q: GatherQueue, want, point, normal, bounce, ct, kd, ks, shin,
     off = jnp.cumsum(want.astype(jnp.int32)) - 1
     slot = jnp.where(want, q.count + off, cap)
     wz = jnp.where(want[:, None], weight, 0.0)
+    cols = (point[:, 0], point[:, 1], point[:, 2],
+            normal[:, 0], normal[:, 1], normal[:, 2],
+            bounce[:, 0], bounce[:, 1], bounce[:, 2], ct,
+            kd[:, 0], kd[:, 1], kd[:, 2],
+            ks[:, 0], ks[:, 1], ks[:, 2], shin,
+            wz[:, 0], wz[:, 1], wz[:, 2])
     return GatherQueue(
-        point=q.point.at[slot].set(point, mode="drop"),
-        normal=q.normal.at[slot].set(normal, mode="drop"),
-        bounce=q.bounce.at[slot].set(bounce, mode="drop"),
-        ct=q.ct.at[slot].set(ct, mode="drop"),
-        kd=q.kd.at[slot].set(kd, mode="drop"),
-        ks=q.ks.at[slot].set(ks, mode="drop"),
-        shin=q.shin.at[slot].set(shin, mode="drop"),
-        weight=q.weight.at[slot].set(wz, mode="drop"),
+        data=tuple(b.at[slot].set(c, mode="drop")
+                   for b, c in zip(q.data, cols)),
         row=q.row.at[slot].set(row, mode="drop"),
         count=q.count + jnp.sum(want, dtype=jnp.int32))
 
@@ -116,15 +150,19 @@ def _enqueue(q: GatherQueue, want, point, normal, bounce, ct, kd, ks, shin,
 @struct.dataclass
 class WalkState:
     key: jnp.ndarray
-    o: jnp.ndarray        # [B,3] ray origin
-    d: jnp.ndarray        # [B,3] ray direction
-    weight: jnp.ndarray   # [B,3] path throughput
-    phase: jnp.ndarray    # [B] int32
-    alive: jnp.ndarray    # [B] bool
-    color: jnp.ndarray    # [B,3] accumulated radiance
+    o: jnp.ndarray        # [W,3] ray origin (W = current stage width)
+    d: jnp.ndarray        # [W,3] ray direction
+    weight: jnp.ndarray   # [W,3] path throughput
+    phase: jnp.ndarray    # [W] int32
+    alive: jnp.ndarray    # [W] bool
+    row: jnp.ndarray      # [W] int32 output color row of this lane
+    scale: jnp.ndarray    # [W,3] caller-folded contribution scale
+    color: tuple          # 3 x [n_rows] accumulated radiance columns
+                          # (1-D: scatter-adds into [n,3] lay out
+                          # transposed-tiled and run ~15x slower)
     depth: jnp.ndarray    # [] int32
     counters: jnp.ndarray  # [ST.N_COUNTERS] int32 dispatched-ray counters
-    cq: GatherQueue | None = None  # deferred caustic requests (sharded maps)
+    cq: GatherQueue | None = None  # deferred caustic requests
     gq: GatherQueue | None = None  # deferred global-map requests
 
 
@@ -134,17 +172,31 @@ def _bounce_eps(scene):
 
 def mc_walk(scene: Scene, cfg: RenderConfig, key, o, d, weight, phase, alive,
             photon_maps, out_row=None, out_scale=None,
-            queue_caps: tuple | None = None):
-    """Run the wavefront walk; returns (color [B,3], counters) — plus the
-    deferred-gather queues when `photon_maps` is a ShardedMaps.
+            queue_caps: tuple | None = None, n_rows: int | None = None):
+    """Run the wavefront walk; returns (color [n_rows,3], counters) — plus
+    the deferred-gather queues when any photon map is present.
 
-    In deferred mode a lane's photon-map contributions land at color row
-    `out_row[lane]` scaled by `out_scale[lane]` (shade_secondary folds its
-    per-group total_w/ns averaging in here so requests scatter straight to
-    primary-ray rows); both default to identity."""
+    Every lane's contributions (radiance AND photon-map requests) land at
+    color row `out_row[lane]` scaled by `out_scale[lane]`: shade_secondary
+    folds its per-group total_w/ns averaging in here, so the walk writes
+    straight to primary-ray rows and the carry never holds a per-lane
+    color.  Defaults are identity (row i of the output = lane i).
+
+    Lanes die fast (Russian roulette) but a while_loop pays full width
+    while ANY lane lives, so the non-differentiable walk compacts
+    survivors to B/4 after 12 bounces and to B/16 after 36 (masked prefix
+    gather — same scheme as photon/trace.emit_round).  Lanes beyond a
+    compaction width are dropped and counted in ST.DROPPED_GATHER (never
+    silent; vanishingly rare at these margins)."""
     from ..photon.gather import ShardedMaps
 
     B = o.shape[0]
+    if out_row is None:
+        out_row = jnp.arange(B, dtype=jnp.int32)
+    if out_scale is None:
+        out_scale = jnp.ones((B, 3))
+    if n_rows is None:
+        n_rows = B
     # Photon-map estimates are ALWAYS deferred into request queues and
     # answered after the walk with one batched gather per map — running
     # the gather inside the loop would pay a full-batch kNN every
@@ -163,17 +215,14 @@ def mc_walk(scene: Scene, cfg: RenderConfig, key, o, d, weight, phase, alive,
         defer_global = (photon_maps is not None
                         and photon_maps.global_ is not None)
     defer = defer_caustic or defer_global
-    if defer:
-        if out_row is None:
-            out_row = jnp.arange(B, dtype=jnp.int32)
-        if out_scale is None:
-            out_scale = jnp.ones((B, 3))
-        cap_c, cap_g = queue_caps if queue_caps is not None else (2 * B, B)
+    cap_c, cap_g = queue_caps if queue_caps is not None else (B, B)
 
     state = WalkState(
         key=key, o=o, d=d, weight=weight,
         phase=phase.astype(jnp.int32), alive=alive,
-        color=jnp.zeros((B, 3)), depth=jnp.asarray(0, jnp.int32),
+        row=out_row, scale=out_scale,
+        color=tuple(jnp.zeros((n_rows,)) for _ in range(3)),
+        depth=jnp.asarray(0, jnp.int32),
         counters=jnp.zeros((ST.N_COUNTERS,), jnp.int32),
         cq=_empty_queue(cap_c) if defer_caustic else None,
         gq=_empty_queue(cap_g) if defer_global else None)
@@ -183,7 +232,15 @@ def mc_walk(scene: Scene, cfg: RenderConfig, key, o, d, weight, phase, alive,
     def cond(s: WalkState):
         return (s.depth < cfg.max_monte_depth) & jnp.any(s.alive)
 
+    def add_color(color, mask, contrib, s):
+        """color[row] += where(mask, contrib * scale) per 1-D column."""
+        c = jnp.where(mask[:, None], contrib * s.scale, 0.0)
+        r = jnp.where(mask, s.row, n_rows)  # drop masked rows outright
+        return tuple(col.at[r].add(c[:, i], mode="drop")
+                     for i, col in enumerate(color))
+
     def body(s: WalkState):
+        Bw = s.o.shape[0]
         key, k_dir, k_rr, k_spec = jax.random.split(s.key, 4)
         hit = intersect_scene(scene, s.o, s.d, t_min=0.0)
         mats = scene.materials
@@ -198,8 +255,7 @@ def mc_walk(scene: Scene, cfg: RenderConfig, key, o, d, weight, phase, alive,
 
         # ---- miss: background, die (montecarlo.cpp:165-169,299-303) ----
         miss = s.alive & ~hit.valid
-        color = s.color + jnp.where(miss[:, None],
-                                    s.weight * scene.background, 0.0)
+        color = add_color(s.color, miss, s.weight * scene.background, s)
         live = s.alive & hit.valid
 
         kd = mats.kd[hit.mat]
@@ -218,7 +274,7 @@ def mc_walk(scene: Scene, cfg: RenderConfig, key, o, d, weight, phase, alive,
         cq = s.cq
         gq = s.gq
         if cfg.monte_carlo:
-            buffer = jnp.zeros((B, 3))
+            buffer = jnp.zeros((Bw, 3))
             if cfg.ambient:
                 buffer = buffer + scene.ambient
             key, k_direct = jax.random.split(key)
@@ -233,13 +289,13 @@ def mc_walk(scene: Scene, cfg: RenderConfig, key, o, d, weight, phase, alive,
                 want = in_path & is_d_
                 cq = _enqueue(cq, want, hit.point, hit.normal, exact,
                               cos_theta, kd, ks, shin,
-                              s.weight * out_scale, out_row)
+                              s.weight * s.scale, s.row)
                 counters = counters.at[ST.CAUSTIC].add(
                     jnp.sum(want, dtype=jnp.int32))
-            color = color + jnp.where(in_path[:, None], buffer * s.weight, 0.0)
+            color = add_color(color, in_path, buffer * s.weight, s)
 
         # ---- Russian roulette branch selection -------------------------
-        r_coeff = jnp.zeros((B,))
+        r_coeff = jnp.zeros((Bw,))
         if cfg.fresnel:
             # phase0 gating: SPECULAR && TRANSMISSIVE (montecarlo.cpp:89);
             # phase1 gating: FRESNEL only (montecarlo.cpp:226)
@@ -256,7 +312,7 @@ def mc_walk(scene: Scene, cfg: RenderConfig, key, o, d, weight, phase, alive,
         prob_term = S.max_channel(emis) + cfg.prob_absorb
         prob_total = prob_d + prob_t + prob_s + prob_term
 
-        u = jax.random.uniform(k_rr, (B,))
+        u = jax.random.uniform(k_rr, (Bw,))
         rand = jnp.where(prob_total > 1.0, u * prob_total, u)
 
         take_d = rand < prob_d
@@ -267,7 +323,7 @@ def mc_walk(scene: Scene, cfg: RenderConfig, key, o, d, weight, phase, alive,
         # PathTrace lanes: transition to the indirect walk (if INDIRECT) or
         # gather the global map (FAST_GLOBAL), else die.
         # IndirectSample lanes: gather the global map and die.
-        u_dir = jax.random.uniform(k_dir, (B, 2))
+        u_dir = jax.random.uniform(k_dir, (Bw, 2))
         cosine_dir = S.diffuse_importance_sample(hit.normal, cos_theta,
                                                  u_dir[:, 0], u_dir[:, 1])
         safe_pd = jnp.maximum(prob_d, 1e-12)
@@ -277,7 +333,7 @@ def mc_walk(scene: Scene, cfg: RenderConfig, key, o, d, weight, phase, alive,
         new_phase = s.phase
         new_weight = s.weight
         new_d = s.d
-        die = jnp.zeros((B,), bool)
+        die = jnp.zeros((Bw,), bool)
 
         d_path = take_d & in_path
         d_ind = take_d & live & (s.phase == PHASE_INDIRECT)
@@ -304,8 +360,8 @@ def mc_walk(scene: Scene, cfg: RenderConfig, key, o, d, weight, phase, alive,
             exact = S.reflective_bounce(hit.normal, view, cos_theta)
             gq = _enqueue(gq, glob_want, hit.point, hit.normal, exact,
                           cos_theta, kd, ks, shin,
-                          kd * s.weight / safe_pd[:, None] * out_scale,
-                          out_row)
+                          kd * s.weight / safe_pd[:, None] * s.scale,
+                          s.row)
         die = die | d_ind
 
         # ---- transmissive branch ---------------------------------------
@@ -319,7 +375,7 @@ def mc_walk(scene: Scene, cfg: RenderConfig, key, o, d, weight, phase, alive,
         exact_t = S.transmissive_bounce(hit.normal, view, cos_theta, ir,
                                         cfg.ir_air)
         if cfg.distrib_transmissive:
-            u_s = jax.random.uniform(k_spec, (B, 2))
+            u_s = jax.random.uniform(k_spec, (Bw, 2))
             sampled_t = S.specular_importance_sample(
                 exact_t, shin, cos_theta, u_s[:, 0], u_s[:, 1])
         else:
@@ -340,7 +396,7 @@ def mc_walk(scene: Scene, cfg: RenderConfig, key, o, d, weight, phase, alive,
         exact_s = S.reflective_bounce(hit.normal, view, cos_theta)
         if cfg.distrib_specular:
             key, k_spec2 = jax.random.split(key)
-            u_s = jax.random.uniform(k_spec2, (B, 2))
+            u_s = jax.random.uniform(k_spec2, (Bw, 2))
             sampled_s = S.specular_importance_sample(
                 exact_s, shin, cos_theta, u_s[:, 0], u_s[:, 1])
         else:
@@ -361,9 +417,34 @@ def mc_walk(scene: Scene, cfg: RenderConfig, key, o, d, weight, phase, alive,
         new_o = jnp.where(alive[:, None],
                           hit.point + new_d * _bounce_eps(scene), s.o)
         return WalkState(key=key, o=new_o, d=new_d, weight=new_weight,
-                         phase=new_phase, alive=alive, color=color,
+                         phase=new_phase, alive=alive, row=s.row,
+                         scale=s.scale, color=color,
                          depth=s.depth + 1, counters=counters,
                          cq=cq, gq=gq)
+
+    def walk_compact(st, NW):
+        """Gather surviving lanes into an NW-wide stage (color/counters/
+        queues stay full-size; dropped survivors are counted)."""
+        alive = st.alive
+        w = alive.shape[0]
+        n_alive = jnp.sum(alive, dtype=jnp.int32)
+        dropped = jnp.maximum(n_alive - NW, 0)
+        idx = jnp.nonzero(alive, size=NW, fill_value=w)[0]
+        lane_ok = idx < w
+        cidx = jnp.clip(idx, 0, w - 1)
+        return WalkState(
+            key=st.key, o=st.o[cidx], d=st.d[cidx],
+            weight=st.weight[cidx], phase=st.phase[cidx],
+            alive=st.alive[cidx] & lane_ok,
+            row=jnp.where(lane_ok, st.row[cidx], n_rows),
+            scale=st.scale[cidx], color=st.color, depth=st.depth,
+            counters=st.counters.at[ST.DROPPED_GATHER].add(dropped),
+            cq=st.cq, gq=st.gq)
+
+    def cond_upto(limit):
+        def c(s):
+            return (s.depth < limit) & jnp.any(s.alive)
+        return c
 
     if cfg.differentiable:
         # reverse-mode AD can't differentiate while_loop; unroll to a
@@ -373,16 +454,26 @@ def mc_walk(scene: Scene, cfg: RenderConfig, key, o, d, weight, phase, alive,
         # ~10 (Russian roulette), so running all 128 masked iterations
         # costs ~4-20x for nothing.  Truncation bias at the default cap
         # of 32 is P(alive at 32) ~ albedo^32 < 0.1% of walk energy.
+        # (No compaction here: nonzero/gather under AD is not worth it.)
         depth = min(cfg.max_monte_depth, cfg.diff_monte_depth)
 
         def scan_body(s, _):
             return body(s), None
         final, _ = jax.lax.scan(scan_body, state, None, length=depth)
     else:
-        final = jax.lax.while_loop(cond, body, state)
+        d1 = min(cfg.max_monte_depth, 12)
+        final = jax.lax.while_loop(cond_upto(d1), body, state)
+        if cfg.max_monte_depth > d1:
+            d2 = min(cfg.max_monte_depth, 36)
+            final = walk_compact(final, max(512, B // 4))
+            final = jax.lax.while_loop(cond_upto(d2), body, final)
+            if cfg.max_monte_depth > d2:
+                final = walk_compact(final, max(512, B // 16))
+                final = jax.lax.while_loop(cond, body, final)
+    color_out = jnp.stack(final.color, axis=-1)
     if defer:
-        return final.color, final.counters, final.cq, final.gq
-    return final.color, final.counters
+        return color_out, final.counters, final.cq, final.gq
+    return color_out, final.counters
 
 
 def shade_secondary(scene: Scene, cfg: RenderConfig, key, hit, ray_o, ray_d,
@@ -500,29 +591,26 @@ def shade_secondary(scene: Scene, cfg: RenderConfig, key, hit, ray_o, ray_d,
         ph2 = jnp.concatenate([g[3] for g in groups])
         al2 = jnp.concatenate([g[4] for g in groups])
         key, k_walk = jax.random.split(key)
+        # fold each group's mean(axis=1) * total_w averaging into the
+        # per-lane scale, so both radiance and deferred requests scatter
+        # straight to primary-ray rows inside the walk (inactive lanes are
+        # dead from spawn and contribute nothing)
+        rows = jnp.concatenate([
+            jnp.repeat(jnp.arange(B, dtype=jnp.int32), g[5])
+            for g in groups])
+        scales = jnp.concatenate([
+            jnp.repeat(g[6] / g[5], g[5], axis=0) for g in groups])
+        n_lanes = o2.shape[0]
+        out = mc_walk(
+            scene, cfg, k_walk, o2, d2, w2, ph2, al2, photon_maps,
+            out_row=rows, out_scale=scales,
+            queue_caps=(n_lanes + B, n_lanes + B), n_rows=B)
         if defer:
-            # fold each group's mean(axis=1) * total_w averaging into the
-            # per-lane deferred-request scale, so queued contributions
-            # scatter straight to primary-ray rows
-            rows = jnp.concatenate([
-                jnp.repeat(jnp.arange(B, dtype=jnp.int32), g[5])
-                for g in groups])
-            scales = jnp.concatenate([
-                jnp.repeat(g[6] / g[5], g[5], axis=0) for g in groups])
-            n_lanes = o2.shape[0]
-            walked, walk_counters, cq, gq = mc_walk(
-                scene, cfg, k_walk, o2, d2, w2, ph2, al2, photon_maps,
-                out_row=rows, out_scale=scales,
-                queue_caps=(2 * n_lanes + B, n_lanes + B))
+            walked, walk_counters, cq, gq = out
         else:
-            walked, walk_counters = mc_walk(scene, cfg, k_walk, o2, d2, w2,
-                                            ph2, al2, photon_maps)
+            walked, walk_counters = out
         counters = counters + walk_counters
-        ofs = 0
-        for (_, _, _, _, _, ns, total_w, active) in groups:
-            part = walked[ofs:ofs + B * ns].reshape(B, ns, 3).mean(axis=1)
-            color = color + jnp.where(active[:, None], part * total_w, 0.0)
-            ofs += B * ns
+        color = color + walked
 
     # Caustic estimate at the primary hit (raytracer.cpp:138-149)
     prim_row = jnp.arange(B, dtype=jnp.int32)

@@ -139,19 +139,37 @@ def _gather_kernel(wlo_ref, wnch_ref,         # scalar prefetch [nb*9] i32
         stream(fn)
 
     kf = jnp.float32(K)
-    lo = jnp.zeros((QB, 1), jnp.float32)
-    width = jnp.full((QB, 1), cap2 / NB, jnp.float32)
-    total = None
-    for _level in range(3):                 # resolution: cap^2 / NB^3
-        hist_pass(lo, width)
-        cum = cnt_ref[:]                    # [QB, NB] cumulative counts
-        if total is None:
-            total = cum[:, NB - 1:NB]       # all in-range candidates
-        kb = jnp.sum((cum < kf).astype(jnp.float32), axis=1, keepdims=True)
-        kb = jnp.minimum(kb, jnp.float32(NB - 1))
-        lo = lo + kb * width
-        width = width / NB
-    tau = jnp.where(total <= kf, jnp.float32(cap2), lo + width * NB)
+
+    # Pass A (cheap: one comparison per photon): in-range candidate count.
+    # Blocks where every query has <= K candidates — most of a typical
+    # frame — skip the 3-level histogram refinement entirely (tau = cap),
+    # cutting their streaming passes from 4 to 2.
+    cnt_ref[:] = jnp.zeros((QB, NB), jnp.float32)
+
+    def count_fn(d2, found, scale, buf):
+        cnt_ref[:, 0:1] += jnp.sum(found.astype(jnp.float32), axis=1,
+                                   keepdims=True)
+
+    stream(count_fn)
+    total = cnt_ref[:, 0:1]
+    dense = jnp.any(total > kf)
+
+    def tau_refine(_):
+        lo = jnp.zeros((QB, 1), jnp.float32)
+        width = jnp.full((QB, 1), cap2 / NB, jnp.float32)
+        for _level in range(3):             # resolution: cap^2 / NB^3
+            hist_pass(lo, width)
+            cum = cnt_ref[:]                # [QB, NB] cumulative counts
+            kb = jnp.sum((cum < kf).astype(jnp.float32), axis=1,
+                         keepdims=True)
+            kb = jnp.minimum(kb, jnp.float32(NB - 1))
+            lo = lo + kb * width
+            width = width / NB
+        return lo + width * NB
+
+    tau = jax.lax.cond(dense, tau_refine,
+                       lambda _: jnp.full((QB, 1), cap2, jnp.float32), 0)
+    tau = jnp.where(total <= kf, jnp.float32(cap2), tau)
 
     # ---- accumulate below tau -------------------------------------------
     # st cols: 0-2 sum(contrib), 3-5 sum(contrib*d) [cone], 6 max d2,
