@@ -1,8 +1,6 @@
 """Benchmark ladder: the BASELINE.md configs, measured on real TPU.
 
-Structured so the driver can never lose the record (round-2 lesson:
-BENCH_r02.json was rc=124/parsed=null because one cold XLA compile ate the
-whole timeout before any JSON reached stdout):
+Structured so the driver can never lose the record:
 
   1. a persistent compilation cache (.jax_cache, committed with the repo)
      is enabled before anything compiles — the build rounds warm it, so
@@ -11,10 +9,16 @@ whole timeout before any JSON reached stdout):
   2. the PRIMARY metric line is printed (flushed) the moment it is
      measured; the extended object with the extras ladder is re-printed
      as the final line — whichever line a parser takes, it parses;
-  3. every extras rung checks a wall-clock budget (GI_BENCH_BUDGET_S,
+  3. every extras rung runs in its OWN SUBPROCESS (round-3 lesson: a TPU
+     device fault in the caustic-render rung wedged the chip for the
+     whole process and erased every later rung's number).  A rung that
+     faults records its error; the next rung gets a fresh process and a
+     fresh device handle.  Rungs hand the traced 10M caustic map across
+     process boundaries via a GIPM checkpoint (photon/checkpoint.py);
+  4. every extras rung checks a wall-clock budget (GI_BENCH_BUDGET_S,
      default 360 s) and is skipped, not killed, when it would not fit.
 
-Primary metric (backward-compatible with rounds 1-2): rays/s on
+Primary metric (backward-compatible with rounds 1-3): rays/s on
 cornell.scn 1024x1024 direct illumination (aa=0), vs the reference's
 ~7.16e5 rays/s aggregate on 8 CPU threads (README.md:403).  Ray counting
 matches the reference (render.cpp:224-254): screen rays + shadow rays,
@@ -22,9 +26,9 @@ taken from the renderer's own per-category counters.
 
 `extras` is the matched-config ladder from BASELINE.md:
   - caustic_photons_stored_per_s: caustic.scn map tracing (reference:
-    100M stored in 300 s = 3.33e5/s, README.md:357).
-  - caustic_photons_50M: the same tracer at the reference's headline
-    scale (>=50M stored, zero overflow drops) + grid build time.
+    100M stored in 300 s = 3.33e5/s, README.md:357).  This rung also
+    traces the full 10M matched-config map and checkpoints it for the
+    render rung.
   - direct_plus_caustic_512_seconds: 512^2, 4 samples/px, 10M-photon
     caustic map, cs=225 cd=0.225 (reference: 1564.3 s, README.md:362).
   - indirect64_512_seconds: importance-sampled indirect, 512^2, 1 spp,
@@ -33,6 +37,8 @@ taken from the renderer's own per-category counters.
     violinBody.off), Pallas block-culled kernel vs the plain jnp scan —
     the driver-recorded form of the triangle-path numbers
     (R3Isect.cpp:800-833 is a linear scan; the reference has no BVH).
+  - caustic_photons_50M: the same tracer at the reference's headline
+    scale (>=50M stored, zero overflow drops) + grid build time.
 
 Render-time metrics time a uniformly random subset of the supersample
 batch and scale to the full frame (unbiased: every pixel batch costs the
@@ -43,22 +49,15 @@ loops, and a production renderer amortizes one compile over many frames.
 
 import json
 import os
+import subprocess
 import sys
 import time
 
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
-import jax
-
-jax.config.update("jax_compilation_cache_dir", os.path.join(REPO, ".jax_cache"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-
-import jax.numpy as jnp
-import numpy as np
-
 INPUT = "/root/reference/input"
+MAP10M_DIR = "/tmp/gi_bench_caustic10m"
 
 _T_START = time.time()
 # Wall-clock budget for the extras ladder: a rung only starts if the
@@ -72,11 +71,27 @@ def _note(msg):
           flush=True)
 
 
-def _over_budget():
-    return time.time() - _T_START > _BUDGET_S
+def _remaining():
+    return _BUDGET_S - (time.time() - _T_START)
 
+
+def _init_jax():
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(REPO, ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    return jax
+
+
+# --------------------------------------------------------------------------
+# rung bodies (each runs inside its own subprocess via `bench.py --rung X`)
+# --------------------------------------------------------------------------
 
 def _bench_direct_rays():
+    jax = _init_jax()
+    import jax.numpy as jnp
+    import numpy as np
     from gi_tpu.models.render import render_tile
     from gi_tpu.scene.scn import load_scene
     from gi_tpu.utils import stats as ST
@@ -124,7 +139,10 @@ def _bench_direct_rays():
 
 
 def _bench_photon_trace(goal, metric, baseline_pps, depth=128,
-                        double_run=True):
+                        double_run=True, save_10m=False):
+    jax = _init_jax()
+    from gi_tpu.photon.checkpoint import save_maps
+    from gi_tpu.photon.gather import PhotonMaps
     from gi_tpu.photon.trace import MAP_CAUSTIC, trace_photon_map
     from gi_tpu.scene.scn import load_scene
     from gi_tpu.utils.config import RenderConfig
@@ -135,7 +153,7 @@ def _bench_photon_trace(goal, metric, baseline_pps, depth=128,
     # loop reaches (quantized round sizes escalate with the goal, so a
     # small-goal warm-up would NOT cover the big rungs); the second run is
     # the steady-state measurement.  The 50M rung skips the warm run — its
-    # programs are already compiled by the smaller rungs.
+    # programs are already in the on-disk compile cache.
     compile_s = 0.0
     if double_run:
         t0 = time.time()
@@ -148,7 +166,7 @@ def _bench_photon_trace(goal, metric, baseline_pps, depth=128,
     elapsed = time.time() - t0
     stored = int(stats["stored"])
     pps = stored / max(stats["seconds"], 1e-9)
-    return {
+    out = {
         "metric": metric,
         "value": round(pps, 1),
         "unit": "photons/s",
@@ -160,12 +178,26 @@ def _bench_photon_trace(goal, metric, baseline_pps, depth=128,
         "stored": stored,
         "emitted": int(stats["emitted"]),
         "overflow_rounds": int(stats["overflow_rounds"]),
-    }, grid
+    }
+    if save_10m:
+        _note("tracing full 10M caustic map for the render rung")
+        cfg10 = RenderConfig(caustic_photon_count=10_000_000,
+                             max_photon_depth=depth)
+        t0 = time.time()
+        grid10, st10 = trace_photon_map(scene, cfg10, jax.random.PRNGKey(4),
+                                        MAP_CAUSTIC)
+        out["trace_10m_s"] = round(time.time() - t0, 1)
+        out["stored_10m"] = int(st10["stored"])
+        save_maps(MAP10M_DIR, PhotonMaps(global_=None, caustic=grid10))
+    return out
 
 
 def _timed_subset_render(scene, cfg, maps, fraction, seed=0):
     """Time a random `fraction` of the supersample batch; return
     (estimated full-frame seconds, compile seconds, fraction)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
     from gi_tpu.models.render import render_tile
 
     aa_factor = 2 ** cfg.aa
@@ -194,18 +226,31 @@ def _timed_subset_render(scene, cfg, maps, fraction, seed=0):
     return elapsed * (n_tiles / n_sample), compile_s, n_sample / n_tiles
 
 
-def _bench_caustic_combined(grid, map_photons):
+def _bench_caustic_combined():
     """Direct + caustic 512^2, 4 samples/px, 10M-photon caustic map,
-    cs=225 cd=0.225 (README.md:362: 1564.3 s)."""
-    from gi_tpu.photon.gather import PhotonMaps
+    cs=225 cd=0.225 (README.md:362: 1564.3 s).  Loads the 10M map the
+    trace rung checkpointed; traces it fresh if the checkpoint is
+    missing (e.g. the trace rung faulted)."""
+    jax = _init_jax()
+    from gi_tpu.photon.checkpoint import load_maps
     from gi_tpu.scene.scn import load_scene
     from gi_tpu.utils.config import RenderConfig
 
     scene = load_scene(f"{INPUT}/caustic.scn")
+    if os.path.isdir(MAP10M_DIR):
+        maps = load_maps(MAP10M_DIR)
+    else:
+        from gi_tpu.photon.trace import MAP_CAUSTIC, trace_photon_map
+        from gi_tpu.photon.gather import PhotonMaps
+        cfg10 = RenderConfig(caustic_photon_count=10_000_000,
+                             max_photon_depth=128)
+        grid10, _ = trace_photon_map(scene, cfg10, jax.random.PRNGKey(4),
+                                     MAP_CAUSTIC)
+        maps = PhotonMaps(global_=None, caustic=grid10)
+    map_photons = int(jax.numpy.sum(maps.caustic.valid))
     cfg = RenderConfig(width=512, height=512, aa=1, indirect_illum=False,
                        caustic_estimate_size=225,
                        caustic_estimate_dist=0.225, ray_tile=8192)
-    maps = PhotonMaps(global_=None, caustic=grid)
     est_s, compile_s, frac = _timed_subset_render(scene, cfg, maps, 1 / 8)
     return {
         "metric": "direct_plus_caustic_512_seconds",
@@ -214,13 +259,14 @@ def _bench_caustic_combined(grid, map_photons):
         "vs_baseline": round(1564.3 / est_s, 2),
         "compile_s": round(compile_s, 1),
         "sampled_fraction": round(frac, 4),
-        "map_photons": int(map_photons),
+        "map_photons": map_photons,
     }
 
 
 def _bench_indirect():
     """Indirect importance-sampled layer, 512^2, 1 spp, 64 samples
     (README.md:393: 51.8 s at 64 samples)."""
+    jax = _init_jax()
     from gi_tpu.photon.trace import build_photon_maps
     from gi_tpu.scene.scn import load_scene
     from gi_tpu.utils.config import RenderConfig
@@ -265,6 +311,8 @@ def _bench_mesh_closest_hit():
     block-culled closest-hit kernel vs the plain jnp triangle scan — the
     triangle path the reference does with a per-array linear scan
     (R3Isect.cpp:800-833, no BVH)."""
+    jax = _init_jax()
+    import jax.numpy as jnp
     from gi_tpu.models.camera import eye_rays
     from gi_tpu.ops import intersect as I
     from gi_tpu.scene.scn import load_scene
@@ -303,6 +351,13 @@ def _bench_mesh_closest_hit():
             I.set_pallas_mode("auto")
 
     pallas_s, pallas_compile = timed("always", o, d)
+    # roofline anchor (VERDICT r3 #9): the Pallas kernel's own FLOP count
+    # per ray-triangle test, vs v5e peak (197 TFLOP/s bf16 ~ 98e12 f32
+    # MACs; the intersect kernel is f32 VPU work, peak ~= 0.9e12 f32
+    # FLOP/s/core x ... report achieved FLOP/s and leave peak to the
+    # reader via `flops_per_raytri`).
+    FLOPS_PER_RAYTRI = 44.0  # ops/pallas_intersect.py cost_estimate
+    achieved = o.shape[0] * n_tris * FLOPS_PER_RAYTRI / pallas_s
     out = {
         "metric": "mesh_closest_hit_rays_per_s",
         "value": round(o.shape[0] / pallas_s, 1),
@@ -310,8 +365,9 @@ def _bench_mesh_closest_hit():
         "n_tris": n_tris,
         "pallas_ms": round(pallas_s * 1e3, 1),
         "compile_s": round(pallas_compile, 1),
+        "achieved_tflops": round(achieved / 1e12, 2),
     }
-    if not _over_budget():
+    if _remaining() > 60:
         # the plain scan materializes [rays, tri_chunk, 3] temporaries —
         # 1M rays x 172k tris OOMs 16 GB HBM — so time it on a 128k-ray
         # subset (rays/s is scale-invariant here) and compare rates
@@ -320,15 +376,67 @@ def _bench_mesh_closest_hit():
         out["plain_rays_per_s"] = round(nsub / plain_s, 1)
         out["pallas_speedup"] = round(
             (o.shape[0] / pallas_s) / (nsub / plain_s), 2)
-    # reference anchor: its aggregate full-pipeline throughput (it publishes
-    # no isolated mesh-intersection rate; its triangle path is the linear
-    # scan this kernel replaces)
-    out["vs_baseline"] = round(o.shape[0] / pallas_s / 7.16e5, 3)
+    # NOTE: no like-for-like published baseline exists for an isolated
+    # mesh-intersection rate; vs_pipeline_anchor compares against the
+    # reference's full-pipeline aggregate (7.16e5 rays/s) for scale only
+    # (ADVICE r3: renamed from vs_baseline to avoid implying parity).
+    out["vs_pipeline_anchor"] = round(o.shape[0] / pallas_s / 7.16e5, 3)
     return out
 
 
+_RUNGS = {
+    "caustic_photons_stored_per_s": lambda: _bench_photon_trace(
+        2_000_000, "caustic_photons_stored_per_s", 3.33e5, save_10m=True),
+    "direct_plus_caustic_512_seconds": _bench_caustic_combined,
+    "indirect64_512_seconds": _bench_indirect,
+    "mesh_closest_hit_rays_per_s": _bench_mesh_closest_hit,
+    "caustic_photons_50M": lambda: _bench_photon_trace(
+        50_000_000, "caustic_photons_50M", 3.33e5, double_run=False),
+}
+
+
+def _run_rung_subprocess(name):
+    """Run one extras rung in a fresh subprocess; parse its last stdout
+    line as the metric JSON.  A faulted/killed rung yields an error record
+    instead of poisoning the remaining ladder."""
+    budget = _remaining()
+    if budget < 30:
+        return {"metric": name, "skipped": "bench budget"}
+    _note(f"extras: {name} (subprocess, {budget:.0f}s left)")
+    env = dict(os.environ)
+    env["GI_BENCH_BUDGET_S"] = str(max(30.0, budget - 15.0))
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--rung", name],
+            capture_output=True, text=True, timeout=budget + 30, env=env,
+            cwd=REPO)
+    except subprocess.TimeoutExpired:
+        return {"metric": name, "error": f"rung timed out after "
+                                         f"{budget + 30:.0f}s"}
+    for line in reversed(proc.stdout.strip().splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                return json.loads(line)
+            except json.JSONDecodeError:
+                continue
+    tail = (proc.stderr or "").strip().splitlines()[-8:]
+    return {"metric": name, "error": f"rung exited rc={proc.returncode} "
+                                     f"with no JSON", "stderr_tail": tail}
+
+
 def main():
+    if len(sys.argv) >= 3 and sys.argv[1] == "--rung":
+        name = sys.argv[2]
+        try:
+            out = _RUNGS[name]()
+        except Exception as e:  # noqa: BLE001 — record, don't crash silent
+            out = {"metric": name, "error": repr(e)}
+        print(json.dumps(out), flush=True)
+        return
+
     _note("primary: cornell 1024^2 direct rays/s")
+    jax = _init_jax()
     primary = _bench_direct_rays()
     primary["device"] = str(jax.devices()[0])
     # flush the primary record immediately: the driver's parse can never
@@ -337,54 +445,13 @@ def main():
     _note(f"primary done: {primary['value']:.3g} rays/s")
 
     extras = []
-
-    def rung(name, fn):
-        if _over_budget():
-            extras.append({"metric": name, "skipped": "bench budget"})
-            return None
-        _note(f"extras: {name}")
-        try:
-            out = fn()
-            extras.append(out[0] if isinstance(out, tuple) else out)
-            return out
-        except Exception as e:  # keep the record alive
-            extras.append({"metric": name, "error": repr(e)})
-            return None
-
-    grid = None
-    got = rung("caustic_photons_stored_per_s",
-               lambda: _bench_photon_trace(2_000_000,
-                                           "caustic_photons_stored_per_s",
-                                           3.33e5))
-    if got is not None:
-        metric, grid = got
-        stored = metric["stored"]
-        if metric["value"] > 100_000 and not _over_budget():
-            # fast enough to trace the full matched-config 10M map
-            from gi_tpu.photon.trace import MAP_CAUSTIC, trace_photon_map
-            from gi_tpu.scene.scn import load_scene
-            from gi_tpu.utils.config import RenderConfig
-            scene = load_scene(f"{INPUT}/caustic.scn")
-            cfg = RenderConfig(caustic_photon_count=10_000_000,
-                               max_photon_depth=128)
-            _note("extras: tracing full 10M caustic map")
-            grid, st = trace_photon_map(scene, cfg, jax.random.PRNGKey(4),
-                                        MAP_CAUSTIC)
-            stored = int(st["stored"])
-        rung("direct_plus_caustic_512_seconds",
-             lambda: _bench_caustic_combined(grid, stored))
-
-    rung("indirect64_512_seconds", _bench_indirect)
-    rung("mesh_closest_hit_rays_per_s", _bench_mesh_closest_hit)
-    # free the 10M map + render buffers before the 50M rung: its grid
-    # build peaks at several GB and the accumulated live maps OOM'd HBM
-    grid = None
-    got = None
-    import gc
-    gc.collect()
-    rung("caustic_photons_50M",
-         lambda: _bench_photon_trace(50_000_000, "caustic_photons_50M",
-                                     3.33e5, double_run=False))
+    for name in _RUNGS:
+        extras.append(_run_rung_subprocess(name))
+        done = extras[-1]
+        if "value" in done:
+            _note(f"  {name}: {done['value']} {done.get('unit', '')}")
+        else:
+            _note(f"  {name}: {done.get('error') or done.get('skipped')}")
 
     out = dict(primary)
     out["extras"] = extras

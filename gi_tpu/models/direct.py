@@ -253,10 +253,10 @@ def shade_direct(scene: Scene, cfg: RenderConfig, key, hit: Hit,
     if eye.ndim == 1:
         eye = jnp.broadcast_to(eye, point.shape)
 
-    kd = mats.kd[hit.mat]
-    ks = mats.ks[hit.mat]
-    emission = mats.emission[hit.mat]
-    shin = mats.shininess[hit.mat]
+    kd = S.take_rows(mats.kd, hit.mat)
+    ks = S.take_rows(mats.ks, hit.mat)
+    emission = S.take_rows(mats.emission, hit.mat)
+    shin = S.take_scalar(mats.shininess, hit.mat)
     is_d = jnp.any(kd > 0, axis=-1)
     is_s = jnp.any(ks > 0, axis=-1)
     active = hit.valid & (is_d | is_s)

@@ -121,7 +121,14 @@ class GatherQueue:
 
 
 def _empty_queue(cap: int) -> GatherQueue:
-    return GatherQueue(data=tuple(jnp.zeros((cap,)) for _ in range(20)),
+    # unfilled slots sit at a FAR point (outside every grid): the Pallas
+    # gather wrapper gives out-of-bbox queries empty photon windows, so
+    # unfilled capacity is free — zeros would put them at the scene
+    # center, the densest cell of a caustic map (r4: the empty tail of a
+    # 139k-cap queue cost more kNN time than the real requests)
+    far = jnp.full((cap,), 1e9)
+    return GatherQueue(data=(far, far, far)
+                       + tuple(jnp.zeros((cap,)) for _ in range(17)),
                        row=jnp.full((cap,), cap, jnp.int32),
                        count=jnp.asarray(0, jnp.int32))
 
@@ -214,6 +221,15 @@ def mc_walk(scene: Scene, cfg: RenderConfig, key, o, d, weight, phase, alive,
                          and photon_maps.caustic is not None)
         defer_global = (photon_maps is not None
                         and photon_maps.global_ is not None)
+    # A queue only exists when a LAYER actually enqueues into it: a map
+    # being merely present must not cost anything (r4 bug: with
+    # caustic_illum off but a 10M caustic map loaded, the walk still
+    # answered an all-empty full-capacity queue against the map — tens of
+    # seconds of kNN for zero requests, enough to trip the 60 s device
+    # watchdog once any real layer was added).
+    defer_caustic = defer_caustic and cfg.caustic_illum
+    defer_global = defer_global and (cfg.indirect_illum or cfg.fast_global
+                                     or cfg.direct_photon_illum)
     defer = defer_caustic or defer_global
     cap_c, cap_g = queue_caps if queue_caps is not None else (B, B)
 
@@ -258,12 +274,12 @@ def mc_walk(scene: Scene, cfg: RenderConfig, key, o, d, weight, phase, alive,
         color = add_color(s.color, miss, s.weight * scene.background, s)
         live = s.alive & hit.valid
 
-        kd = mats.kd[hit.mat]
-        ks = mats.ks[hit.mat]
-        kt = mats.kt[hit.mat]
-        emis = mats.emission[hit.mat]
-        shin = mats.shininess[hit.mat]
-        ir = mats.ir[hit.mat]
+        kd = S.take_rows(mats.kd, hit.mat)
+        ks = S.take_rows(mats.ks, hit.mat)
+        kt = S.take_rows(mats.kt, hit.mat)
+        emis = S.take_rows(mats.emission, hit.mat)
+        shin = S.take_scalar(mats.shininess, hit.mat)
+        ir = S.take_scalar(mats.ir, hit.mat)
         is_transp = jnp.any(kt > 0, axis=-1)
 
         view = S.normalize(hit.point - s.o)
@@ -433,8 +449,8 @@ def mc_walk(scene: Scene, cfg: RenderConfig, key, o, d, weight, phase, alive,
         lane_ok = idx < w
         cidx = jnp.clip(idx, 0, w - 1)
         return WalkState(
-            key=st.key, o=st.o[cidx], d=st.d[cidx],
-            weight=st.weight[cidx], phase=st.phase[cidx],
+            key=st.key, o=S.take_rows(st.o, cidx), d=S.take_rows(st.d, cidx),
+            weight=S.take_rows(st.weight, cidx), phase=st.phase[cidx],
             alive=st.alive[cidx] & lane_ok,
             row=jnp.where(lane_ok, st.row[cidx], n_rows),
             scale=st.scale[cidx], color=st.color, depth=st.depth,
@@ -509,11 +525,11 @@ def shade_secondary(scene: Scene, cfg: RenderConfig, key, hit, ray_o, ray_d,
     counters = jnp.zeros((ST.N_COUNTERS,), jnp.int32)
     mats = scene.materials
     B = hit.t.shape[0]
-    kd = mats.kd[hit.mat]
-    ks = mats.ks[hit.mat]
-    kt = mats.kt[hit.mat]
-    shin = mats.shininess[hit.mat]
-    ir = mats.ir[hit.mat]
+    kd = S.take_rows(mats.kd, hit.mat)
+    ks = S.take_rows(mats.ks, hit.mat)
+    kt = S.take_rows(mats.kt, hit.mat)
+    shin = S.take_scalar(mats.shininess, hit.mat)
+    ir = S.take_scalar(mats.ir, hit.mat)
     is_d = jnp.any(kd > 0, axis=-1)
     is_s = jnp.any(ks > 0, axis=-1)
     is_t = jnp.any(kt > 0, axis=-1)

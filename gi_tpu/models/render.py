@@ -18,6 +18,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..ops import sampling as S
 from ..ops.intersect import intersect_scene
 from ..scene.types import Scene
 from ..utils import stats as ST
@@ -38,10 +39,10 @@ def shade_hits(scene: Scene, cfg: RenderConfig, key, hit, ray_o, ray_d,
     B = hit.t.shape[0]
     color = jnp.zeros((B, 3))
 
-    ka = mats.ka[hit.mat]
-    kd = mats.kd[hit.mat]
-    ks = mats.ks[hit.mat]
-    kt = mats.kt[hit.mat]
+    ka = S.take_rows(mats.ka, hit.mat)
+    kd = S.take_rows(mats.kd, hit.mat)
+    ks = S.take_rows(mats.ks, hit.mat)
+    kt = S.take_rows(mats.kt, hit.mat)
 
     if cfg.ambient:
         # global ambient + material ambient (raytracer.cpp:181-199)

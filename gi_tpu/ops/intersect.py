@@ -19,11 +19,18 @@ import os
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import struct
 
 from ..scene.types import Scene
+from .sampling import take_rows, take_scalar
 
-INF = jnp.float32(jnp.inf)
+# Host scalar, NOT jnp.float32(inf): a module-level jnp scalar is a
+# committed device buffer, and any jitted program that closure-captures a
+# device array flips the axon runtime into a synchronous dispatch mode
+# (~25 ms/launch, measured r4) for the REST OF THE PROCESS — this one
+# constant was degrading every render/walk program in the framework.
+INF = np.float32(np.inf)
 _DET_EPS = 1e-12
 
 # Pallas fast-path policy for the triangle scan: "auto" uses the kernel on
@@ -130,15 +137,22 @@ def _box_t(o, d, lo, hi, t_min):
 
 
 def _box_normal(p, lo, hi):
-    """Outward normal of the face nearest to point p on box (lo,hi): [B,3]."""
+    """Outward normal of the face nearest to point p on box (lo,hi): [B,3].
+
+    One-hot select instead of take_along_axis: each take_along_axis on a
+    [B,3] array lowers to a per-element gather with index/result relayouts
+    (~1.6 ms each at 4M lanes on v5e), and fusion duplication multiplied
+    them across the photon-walk body (r4 HLO dump: 94 gather instances
+    per bounce)."""
     dl = jnp.abs(p - lo)
     dh = jnp.abs(p - hi)
     dmin = jnp.minimum(dl, dh)
     axis = jnp.argmin(dmin, axis=-1)
-    sign = jnp.where(
-        jnp.take_along_axis(dh, axis[:, None], axis=-1)[:, 0]
-        < jnp.take_along_axis(dl, axis[:, None], axis=-1)[:, 0], 1.0, -1.0)
-    return jax.nn.one_hot(axis, 3, dtype=p.dtype) * sign[:, None]
+    oh = jax.nn.one_hot(axis, 3, dtype=p.dtype)
+    dh_sel = jnp.sum(dh * oh, axis=-1)
+    dl_sel = jnp.sum(dl * oh, axis=-1)
+    sign = jnp.where(dh_sel < dl_sel, 1.0, -1.0)
+    return oh * sign[:, None]
 
 
 def _cylinder_t(o, d, p0, p1, radius, t_min):
@@ -330,7 +344,7 @@ def intersect_scene(scene: Scene, o: jnp.ndarray, d: jnp.ndarray,
 
     if scene.tris.v0.shape[0] > 0:
         t, idx = _tri_closest(o, d, scene.tris, t_min)
-        n = scene.tris.normal[idx]
+        n = take_rows(scene.tris.normal, idx)
         m = scene.tris.mat[idx]
         best = merge(best, t, n, m)
 
@@ -342,10 +356,10 @@ def intersect_scene(scene: Scene, o: jnp.ndarray, d: jnp.ndarray,
         # zero-out inf before attribute math: inf*0 poisons reverse-mode AD
         ts = jnp.where(jnp.isfinite(t), t, 0.0)
         p = o + ts[:, None] * d
-        c = scene.spheres.center[idx]
-        r = scene.spheres.radius[idx]
+        c = take_rows(scene.spheres.center, idx)
+        r = take_scalar(scene.spheres.radius, idx)
         n = (p - c) / jnp.maximum(r, 1e-30)[:, None]
-        best = merge(best, t, n, scene.spheres.mat[idx])
+        best = merge(best, t, n, take_scalar(scene.spheres.mat, idx))
 
     if scene.boxes.lo.shape[0] > 0:
         t_all = _box_t(o, d, scene.boxes.lo, scene.boxes.hi, t_min)
@@ -353,8 +367,9 @@ def intersect_scene(scene: Scene, o: jnp.ndarray, d: jnp.ndarray,
         t = jnp.min(t_all, axis=1)
         ts = jnp.where(jnp.isfinite(t), t, 0.0)
         p = o + ts[:, None] * d
-        n = _box_normal(p, scene.boxes.lo[idx], scene.boxes.hi[idx])
-        best = merge(best, t, n, scene.boxes.mat[idx])
+        n = _box_normal(p, take_rows(scene.boxes.lo, idx),
+                        take_rows(scene.boxes.hi, idx))
+        best = merge(best, t, n, take_scalar(scene.boxes.mat, idx))
 
     if scene.cylinders.p0.shape[0] > 0:
         t_all, n_all = _cylinder_t(o, d, scene.cylinders.p0,
@@ -362,24 +377,28 @@ def intersect_scene(scene: Scene, o: jnp.ndarray, d: jnp.ndarray,
                                    scene.cylinders.radius, t_min)
         idx = jnp.argmin(t_all, axis=1)
         t = jnp.min(t_all, axis=1)
-        n = jnp.take_along_axis(n_all, idx[:, None, None], axis=1)[:, 0]
-        best = merge(best, t, n, scene.cylinders.mat[idx])
+        oh_n = jax.nn.one_hot(idx, t_all.shape[1],
+                              dtype=n_all.dtype)   # [B,N] select
+        n = jnp.sum(n_all * oh_n[..., None], axis=1)
+        best = merge(best, t, n, take_scalar(scene.cylinders.mat, idx))
 
     if scene.cones.p0.shape[0] > 0:
         t_all, n_all = _cone_t(o, d, scene.cones.p0, scene.cones.p1,
                                scene.cones.radius, t_min)
         idx = jnp.argmin(t_all, axis=1)
         t = jnp.min(t_all, axis=1)
-        n = jnp.take_along_axis(n_all, idx[:, None, None], axis=1)[:, 0]
-        best = merge(best, t, n, scene.cones.mat[idx])
+        oh_n = jax.nn.one_hot(idx, t_all.shape[1],
+                              dtype=n_all.dtype)   # [B,N] select
+        n = jnp.sum(n_all * oh_n[..., None], axis=1)
+        best = merge(best, t, n, take_scalar(scene.cones.mat, idx))
 
     if scene.circles.center.shape[0] > 0:
         t_all = _circle_t(o, d, scene.circles.center, scene.circles.normal,
                           scene.circles.radius, t_min)
         idx = jnp.argmin(t_all, axis=1)
         t = jnp.min(t_all, axis=1)
-        n = scene.circles.normal[idx]
-        best = merge(best, t, n, scene.circles.mat[idx])
+        n = take_rows(scene.circles.normal, idx)
+        best = merge(best, t, n, take_scalar(scene.circles.mat, idx))
 
     t, n, m = best
     valid = jnp.isfinite(t)

@@ -20,6 +20,65 @@ def dot(a, b):
     return jnp.sum(a * b, axis=-1)
 
 
+# Tables at or under this many rows are "looked up" with a select chain
+# instead of a gather: on v5e EVERY gather at walk width pays an
+# index+result relayout (~1.6 ms per gather at 4M lanes — the r4 HLO dump
+# showed 94 of them per bounce after fusion duplication), while select
+# chains measure ~0.15 ms and fuse cleanly.  A one-hot matmul is NOT a
+# safe alternative: XLA's simplifier pattern-matches it straight back
+# into the 2-D gather (seen in the r4 render-tile HLO as
+# `gather(..., slice_sizes={1,3})`).  Materials and non-mesh primitive
+# arrays are tiny; only triangle soups exceed this.
+_SELECT_MAX = 32
+
+
+def take_rows(table, idx):
+    """Row lookup `table[idx]` tuned for TPU.
+
+    A plain gather from a [N, C] table (C small, e.g. material kd /
+    triangle normals) hits XLA's transposed-tiled 2-D gather path and
+    runs ~250x slower than the alternatives (measured on v5e, round-4:
+    17.4 ms vs ~0.15 ms for 4M indices into a [3, 3] table — the photon
+    walk spent ~200 of its 256 ms/bounce in five such lookups).
+
+    Policy: single-row tables broadcast; small tables use per-row select
+    chains (no gather op at all, comparisons shared across columns);
+    everything else gathers each column from its 1-D slice
+    (loop-invariant, hoisted).  `idx` may have any shape; returns shape
+    idx.shape + [C].
+    """
+    if table.ndim == 1:
+        return take_scalar(table, idx)
+    assert table.ndim == 2
+    n, c = table.shape
+    if n == 1:
+        return jnp.broadcast_to(table[0], idx.shape + (c,))
+    if n <= _SELECT_MAX:
+        eq = [idx == m for m in range(1, n)]
+        cols = []
+        for col in range(c):
+            acc = jnp.broadcast_to(table[0, col], idx.shape)
+            for m in range(1, n):
+                acc = jnp.where(eq[m - 1], table[m, col], acc)
+            cols.append(acc)
+        return jnp.stack(cols, axis=-1)
+    return jnp.stack([table[:, col][idx] for col in range(c)], axis=-1)
+
+
+def take_scalar(col, idx):
+    """1-D lookup `col[idx]` with the same small-table policy as
+    take_rows (select chain for small tables, plain gather otherwise)."""
+    n = col.shape[0]
+    if n == 1:
+        return jnp.broadcast_to(col[0], idx.shape)
+    if n <= _SELECT_MAX:
+        acc = jnp.broadcast_to(col[0], idx.shape)
+        for m in range(1, n):
+            acc = jnp.where(idx == m, col[m], acc)
+        return acc
+    return col[idx]
+
+
 def normalize(v, eps=1e-12):
     # sum-of-squares + eps form: finite reverse-mode gradients at v == 0.
     # eps must be >= 1e-12: rsqrt's backward is -x^(-3/2)/2, which overflows

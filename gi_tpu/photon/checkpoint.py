@@ -85,5 +85,6 @@ def load_maps(path: str) -> PhotonMaps:
             jnp.asarray(pos), jnp.asarray(power),
             jnp.asarray(dircode.astype(np.int32)),
             jnp.ones(len(pos), bool), origin, bbox_hi,
-            cell, int(m["cell_cap"]), max_dim=max(dims), dims=dims)
+            cell, int(m["cell_cap"]), max_dim=max(dims), dims=dims,
+            decorrelate=False)
     return PhotonMaps(global_=grids["global"], caustic=grids["caustic"])

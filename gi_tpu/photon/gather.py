@@ -22,6 +22,8 @@ pack/unpack ALU on TPU.
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -88,11 +90,15 @@ class ShardedMaps:
 def build_grid(pos: jnp.ndarray, power: jnp.ndarray, dir_code: jnp.ndarray,
                valid: jnp.ndarray, bbox_lo: np.ndarray, bbox_hi: np.ndarray,
                cell_size: float, cell_cap: int,
-               max_dim: int = 256, dims: tuple | None = None) -> PhotonGrid:
+               max_dim: int = 256, dims: tuple | None = None,
+               decorrelate: bool = True) -> PhotonGrid:
     """Sort photons into a uniform grid.  bbox/cell_size are host values
     (static grid dims); photon arrays are device tensors.  `dims` overrides
     the derived grid dimensions (checkpoint restore passes the saved ones so
-    the rebuilt grid is bit-identical)."""
+    the rebuilt grid is bit-identical).  `decorrelate=False` skips the
+    within-cell permutation — checkpoint restore passes it because saved
+    photons are already in a (decorrelated) cell-sorted order, and skipping
+    it makes the rebuilt grid's photon ORDER bit-identical too."""
     span = np.maximum(np.asarray(bbox_hi) - np.asarray(bbox_lo), 1e-6)
     cell = float(max(cell_size, span.max() / max_dim))
     if dims is None:
@@ -118,6 +124,41 @@ def build_grid(pos: jnp.ndarray, power: jnp.ndarray, dir_code: jnp.ndarray,
 
     origin = jnp.asarray(np.asarray(bbox_lo, np.float32))
     inv_h = jnp.asarray(np.float32(1.0 / cell))
+    outs = _build_grid_device(pos, power, dir_code, valid, origin, inv_h,
+                              dims=dims, decorrelate=decorrelate)
+    pos_s, power_s, code_s, valid_s, cell_start, packed = outs
+    return PhotonGrid(
+        dims=dims, cell_cap=int(cell_cap), origin=origin, inv_h=inv_h,
+        pos=pos_s, power=power_s,
+        dir_code=code_s, valid=valid_s,
+        cell_start=cell_start, packed=packed)
+
+
+@partial(jax.jit, static_argnames=("dims", "decorrelate"))
+def _build_grid_device(pos, power, dir_code, valid, origin, inv_h, *,
+                       dims, decorrelate):
+    """Device portion of build_grid under ONE jit: XLA plans buffer reuse
+    across the permutation/sort/gather/pack chain instead of materializing
+    every eager intermediate — at 67M padded rows the eager version held
+    ~4 transient copies of the [16, N] pack and OOM'd 16 GB HBM during
+    the 50M-photon build (round-4).  Inputs are NOT donated: callers
+    rebuild grids from live grid fields (e.g. ring-gather tests)."""
+    nx, ny, nz = dims
+    n_cells = nx * ny * nz
+
+    # Decorrelate within-cell order with a fixed odd-stride permutation
+    # (bijective — the padded count is a power of two): the stable sort
+    # below then leaves each cell's photons in pseudo-random order, so the
+    # Pallas gather's dense-cell truncation (`gather_cell_max`) sees an
+    # unbiased sample instead of correlated early-round arrivals.
+    if decorrelate:
+        n_pad = pos.shape[0]
+        assert n_pad & (n_pad - 1) == 0, \
+            "bucketing must pad to a power of two"
+        perm = (jnp.arange(n_pad, dtype=jnp.uint32) * jnp.uint32(2654435761)
+                & jnp.uint32(n_pad - 1)).astype(jnp.int32)
+        pos, power = S.take_rows(pos, perm), S.take_rows(power, perm)
+        dir_code, valid = dir_code[perm], valid[perm]
 
     ijk = jnp.clip(jnp.floor((pos - origin) * inv_h).astype(jnp.int32),
                    0, jnp.asarray([nx - 1, ny - 1, nz - 1]))
@@ -130,20 +171,18 @@ def build_grid(pos: jnp.ndarray, power: jnp.ndarray, dir_code: jnp.ndarray,
         cid_sorted, jnp.arange(n_cells + 1, dtype=cid_sorted.dtype)
     ).astype(jnp.int32)
 
-    pos_s = pos[order]
-    power_s = power[order].astype(jnp.bfloat16)
+    pos_s = S.take_rows(pos, order)
+    power_s = S.take_rows(power, order).astype(jnp.bfloat16)
     code_s = dir_code[order].astype(jnp.int32)
-    packed = jnp.concatenate([
-        pos_s.T, power_s.astype(jnp.float32).T,
-        S.decode_direction(code_s).T], axis=0).astype(jnp.float32)
-    n = packed.shape[1]
+    n = pos_s.shape[0]
     pad_cols = (-n) % _PACK_CHUNK + _PACK_CHUNK
-    packed = jnp.pad(packed, ((0, 16 - packed.shape[0]), (0, pad_cols)))
-    return PhotonGrid(
-        dims=dims, cell_cap=int(cell_cap), origin=origin, inv_h=inv_h,
-        pos=pos_s, power=power_s,
-        dir_code=code_s, valid=valid[order],
-        cell_start=cell_start, packed=packed)
+    packed = jnp.zeros((16, n + pad_cols), jnp.float32)
+    packed = jax.lax.dynamic_update_slice(
+        packed,
+        jnp.concatenate([pos_s.T, power_s.astype(jnp.float32).T,
+                         S.decode_direction(code_s).T], axis=0),
+        (0, 0))
+    return pos_s, power_s, code_s, valid[order], cell_start, packed
 
 
 def _candidates(grid: PhotonGrid, point: jnp.ndarray):
@@ -201,7 +240,7 @@ def _estimate_chunk(grid, point, normal, exact_bounce, cos_theta, kd, ks,
     idx, ok, scale = _candidates(grid, point)
     idx = jnp.clip(idx, 0, grid.pos.shape[0] - 1)
 
-    p = grid.pos[idx]                          # [B,M,3]
+    p = S.take_rows(grid.pos, idx)             # [B,M,3]
     d2 = jnp.sum((p - point[:, None]) ** 2, axis=-1)
     in_r = ok & (d2 <= estimate_dist * estimate_dist)
     d2m = jnp.where(in_r, d2, jnp.inf)
@@ -265,7 +304,7 @@ def _finish_estimate(grid, point, normal, exact_bounce, cos_theta, kd, ks,
                      top_d2, gidx, flux_scale):
     """Shared tail of EstimateRadiance: normal-side cull, Phong weighting,
     disk/cone/gauss filter normalization (photon_utils.cpp:109-161)."""
-    flux = grid.power[gidx].astype(jnp.float32)        # [B,K,3]
+    flux = S.take_rows(grid.power, gidx).astype(jnp.float32)  # [B,K,3]
     flux = flux * flux_scale[..., None]
     incident = S.decode_direction(grid.dir_code[gidx])  # [B,K,3]
     return finish_estimate_payload(normal, exact_bounce, cos_theta, kd, ks,
@@ -410,7 +449,7 @@ def estimate_cached_radiance(grid: PhotonGrid, point, normal, exact_bounce,
 
     idx, ok, _ = _candidates(grid, point)
     idx = jnp.clip(idx, 0, grid.pos.shape[0] - 1)
-    p = grid.pos[idx]
+    p = S.take_rows(grid.pos, idx)
     d2 = jnp.sum((p - point[:, None]) ** 2, axis=-1)
     code = grid.dir_code[idx]
     incident = S.decode_direction(code)
@@ -423,7 +462,7 @@ def estimate_cached_radiance(grid: PhotonGrid, point, normal, exact_bounce,
     has = jnp.isfinite(jnp.min(d2m, axis=1))
 
     bidx = jnp.take_along_axis(idx, best[:, None], axis=1)[:, 0]
-    flux = grid.power[bidx].astype(jnp.float32)
+    flux = S.take_rows(grid.power, bidx).astype(jnp.float32)
     inc = S.decode_direction(grid.dir_code[bidx])
     perp_b = S.dot(normal, inc)
     cos_alpha = jnp.maximum(S.dot(exact_bounce, -inc), 0.0)
@@ -451,7 +490,7 @@ def estimate_irradiance(grid: PhotonGrid, point, estimate_size,
     K = int(estimate_size)
     idx, ok, scale = _candidates(grid, point)
     idx = jnp.clip(idx, 0, grid.pos.shape[0] - 1)
-    p = grid.pos[idx]
+    p = S.take_rows(grid.pos, idx)
     d2 = jnp.sum((p - point[:, None]) ** 2, axis=-1)
     in_r = ok & (d2 <= estimate_dist * estimate_dist)
     d2m = jnp.where(in_r, d2, jnp.inf)
@@ -464,7 +503,7 @@ def estimate_irradiance(grid: PhotonGrid, point, estimate_size,
                        jnp.maximum(jnp.max(jnp.where(found, top_d2, 0.0),
                                            axis=1), 1e-6))
     gidx = jnp.take_along_axis(idx, top_i, axis=1)
-    flux = grid.power[gidx].astype(jnp.float32)
+    flux = S.take_rows(grid.power, gidx).astype(jnp.float32)
     flux = flux * jnp.take_along_axis(scale, top_i, axis=1)[..., None]
     est = jnp.sum(jnp.where(found[..., None], flux, 0.0), axis=1)
     est = est / (jnp.pi * max_d2)[:, None]

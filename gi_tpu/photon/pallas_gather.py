@@ -10,18 +10,29 @@ with streamed, sequential window scans:
 
   1. Queries are sorted by grid cell (wrapper, one argsort) so a block of
      QB=128 consecutive queries shares photon windows.  Because photons are
-     sorted by cell id (z fastest), each query's 27-cell neighborhood is 9
-     CONTIGUOUS photon ranges (one per (dx,dy), spanning the 3 z-cells).
-  2. Per (block, range): a shared superwindow [min start, max end) is DMA'd
-     from HBM chunk-by-chunk ([16, 512] f32: pos, flux, incident dir) and
-     every query in the block masks its own sub-intervals.  Windows have no
-     length cap, so over-full cells are read in full — the kernel is EXACT
-     kNN even in caustic hot spots where the jnp fallback's fixed-capacity
-     cell reads must decimate.
-  3. The K-th-neighbor radius is found WITHOUT a top-k: two cumulative
-     count passes (64 threshold edges each — plain masked reduces on the
-     VPU) narrow the K-th distance² to cap²/4096 resolution; a final pass
-     accumulates the BRDF- and filter-weighted flux below that threshold.
+     sorted by cell id, each of a query's 27 neighbor cells is one
+     CONTIGUOUS photon range; the kernel streams 27 per-block superwindows
+     (the union of the block's ranges for that neighbor offset).
+  2. Per (block, cell): the superwindow is DMA'd from HBM chunk-by-chunk
+     ([16, 512] f32 rows: pos, flux, incident dir) and every query in the
+     block masks its own sub-interval.
+  3. DENSITY BOUND (round-4): cells holding more than `cell_max` photons
+     are truncated to their first `cell_max` — build_grid decorrelates
+     within-cell order, so the visible prefix is an unbiased sample — and
+     the truncated cell's flux is rescaled by count/cell_max.  The result
+     is the standard K-NN density estimate on a thinned photon set with
+     flux-preserving reweighting: per-query work is O(27 * cell_max)
+     instead of O(photons-in-neighborhood), which removes the caustic-
+     focus collapse (round-3: a 2.5M-photon cell ground one query block
+     through ~5 full streaming passes of the whole cell).  Cells at or
+     under `cell_max` are EXACT kNN (cell_max=0 disables truncation).
+  4. The K-th-neighbor radius is found WITHOUT a top-k: cumulative count
+     passes (64 threshold edges each — plain masked reduces on the VPU)
+     narrow the K-th distance² to cap²/64³ resolution; the first pass
+     doubles as the candidate count, so blocks where every query has <= K
+     candidates (most of a frame) run only 2 streaming passes; a final
+     pass accumulates the BRDF- and filter-weighted flux below the
+     threshold.
 
 Numerics match the jnp path except for photons whose distance² ties within
 one refinement bin (cap²/64³ ≈ 4 ppm) of the K-th neighbor — a thin shell
@@ -43,31 +54,32 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 QB = 128     # queries per block
-WCH = 512    # photons per window chunk (== gather._PACK_PAD)
-NB = 64      # threshold edges per refinement level (resolution cap^2/NB^2)
+WCH = 512    # photons per window chunk (== gather._PACK_CHUNK)
+NB = 64      # threshold edges per refinement level (resolution cap^2/NB^3)
 _QCHUNK = 131072  # max queries per pallas_call: SMEM window tables cost
-                  # 2 * (q/QB)*9*4 B -> 72 KB here, far under the 1 MB SMEM
+                  # 2 * (q/QB)*27*4 B -> 221 KB here, under the 1 MB SMEM
 
 DISK, CONE, GAUSS = 0, 1, 2
 
 
-def _gather_kernel(wlo_ref, wnch_ref,         # scalar prefetch [nb*9] i32
+def _gather_kernel(wlo_ref, wnch_ref,         # scalar prefetch [nb*27] i32
                                               # (FLAT: SMEM pads the last
-                                              # dim to 128 lanes, so [nb,9]
+                                              # dim to 128 lanes, so [nb,27]
                                               # would cost nb*512 B and OOM
                                               # the 1 MB SMEM at nb>=1024)
-                   q_ref,                      # [QB, 16] f32 query pack
+                   q_ref,                      # [QB, 24] f32 query pack
                    se_ref,                     # [QB, 64] i32 starts/ends
-                   sc_ref,                     # [QB, 32] f32 decim scales
-                   ph_ref,                     # [9, Npad] f32 HBM photons
+                   sc_ref,                     # [QB, 32] f32 trunc scales
+                   ph_ref,                     # [16, Npad] f32 HBM photons
                    est_ref,                    # out [QB, 4] f32
                    buf, sem, cnt_ref, st_ref,
                    *, K, cap2, filter_type, f_a, f_b, f_k):
-    """One query block.  q_ref columns: 0-2 pos, 3-5 normal, 6-8 bounce,
-    9 cos_theta, 10 shininess, 11-13 kd... kd/ks live in 10..16? — see
-    wrapper packing: [pos3, normal3, bounce3, cos1, shin1, kd3, ks3] = 17
-    padded to 24.  se_ref columns: 27 starts then 27 ends (padded to 64).
-    st_ref rows: working state, see _ST_* indices."""
+    """One query block.  q_ref columns: [pos3, normal3, bounce3, cos1,
+    shin1, kd3, ks3] = 17 padded to 24.  se_ref columns: 27 starts then 27
+    ends (padded to 64); ends are already truncated to start+cell_max by
+    the wrapper.  sc_ref col r: flux rescale count/cell_max for neighbor
+    cell r (1 when not truncated).  st_ref rows: working state, see the
+    column comments at its first write."""
     i = pl.program_id(0)
 
     qx = q_ref[:, 0:1]
@@ -92,10 +104,13 @@ def _gather_kernel(wlo_ref, wnch_ref,         # scalar prefetch [nb*9] i32
 
     def stream(chunk_fn):
         """Run chunk_fn(d2, found, scale, buf) over every window chunk of
-        every one of the 9 ranges."""
-        for run in range(9):
-            w_lo = wlo_ref[i * 9 + run]
-            n_ch = wnch_ref[i * 9 + run]
+        every one of the 27 neighbor-cell superwindows."""
+        for run in range(27):
+            w_lo = wlo_ref[i * 27 + run]
+            n_ch = wnch_ref[i * 27 + run]
+            s = se_ref[:, run:run + 1]
+            e = se_ref[:, 27 + run:28 + run]
+            sc = sc_ref[:, run:run + 1]
 
             def chunk_body(j, _):
                 start = pl.multiple_of(w_lo + j * WCH, WCH)
@@ -108,16 +123,8 @@ def _gather_kernel(wlo_ref, wnch_ref,         # scalar prefetch [nb*9] i32
                 py = buf[1:2, :]
                 pz = buf[2:3, :]
                 d2 = ((qx - px) ** 2 + (qy - py) ** 2 + (qz - pz) ** 2)
-                m = jnp.zeros((QB, WCH), jnp.bool_)
-                scale = jnp.zeros((QB, WCH), jnp.float32)
-                for z in range(3):
-                    col = run * 3 + z
-                    s = se_ref[:, col:col + 1]
-                    e = se_ref[:, 27 + col:28 + col]
-                    mz = (g >= s) & (g < e)
-                    m = m | mz
-                    scale = scale + jnp.where(
-                        mz, sc_ref[:, col:col + 1], 0.0)
+                m = (g >= s) & (g < e)
+                scale = jnp.where(m, sc, 0.0)
                 found = m & (d2 <= cap2)
                 chunk_fn(d2, found, scale, buf)
                 return 0
@@ -140,32 +147,35 @@ def _gather_kernel(wlo_ref, wnch_ref,         # scalar prefetch [nb*9] i32
 
     kf = jnp.float32(K)
 
-    # Pass A (cheap: one comparison per photon): in-range candidate count.
-    # Blocks where every query has <= K candidates — most of a typical
-    # frame — skip the 3-level histogram refinement entirely (tau = cap),
-    # cutting their streaming passes from 4 to 2.
-    cnt_ref[:] = jnp.zeros((QB, NB), jnp.float32)
-
-    def count_fn(d2, found, scale, buf):
-        cnt_ref[:, 0:1] += jnp.sum(found.astype(jnp.float32), axis=1,
-                                   keepdims=True)
-
-    stream(count_fn)
-    total = cnt_ref[:, 0:1]
+    # Level 1 doubles as the candidate count pass: the last histogram edge
+    # is cap^2 itself, so cnt[:, NB-1] is the total in-range count.  Blocks
+    # where every query has <= K candidates — most of a typical frame —
+    # skip the two finer refinement levels (2 streaming passes total).
+    width1 = jnp.full((QB, 1), cap2 / NB, jnp.float32)
+    hist_pass(jnp.zeros((QB, 1), jnp.float32), width1)
+    cum1 = cnt_ref[:]
+    total = cum1[:, NB - 1:NB]
+    kb1 = jnp.minimum(
+        jnp.sum((cum1 < kf).astype(jnp.float32), axis=1, keepdims=True),
+        jnp.float32(NB - 1))
     dense = jnp.any(total > kf)
 
     def tau_refine(_):
-        lo = jnp.zeros((QB, 1), jnp.float32)
-        width = jnp.full((QB, 1), cap2 / NB, jnp.float32)
-        for _level in range(3):             # resolution: cap^2 / NB^3
-            hist_pass(lo, width)
-            cum = cnt_ref[:]                # [QB, NB] cumulative counts
-            kb = jnp.sum((cum < kf).astype(jnp.float32), axis=1,
-                         keepdims=True)
-            kb = jnp.minimum(kb, jnp.float32(NB - 1))
-            lo = lo + kb * width
+        def level_body(_l, carry):
+            lo, width = carry
             width = width / NB
-        return lo + width * NB
+            hist_pass(lo, width)
+            cum = cnt_ref[:]
+            kb = jnp.minimum(
+                jnp.sum((cum < kf).astype(jnp.float32), axis=1,
+                        keepdims=True), jnp.float32(NB - 1))
+            return lo + kb * width, width
+
+        lo, width = jax.lax.fori_loop(
+            0, 2, level_body, (kb1 * width1, width1))
+        # upper edge of the last selected bin: count(tau) >= K is
+        # guaranteed, at resolution cap^2/NB^3
+        return lo + width
 
     tau = jax.lax.cond(dense, tau_refine,
                        lambda _: jnp.full((QB, 1), cap2, jnp.float32), 0)
@@ -256,7 +266,7 @@ def _gather_kernel(wlo_ref, wnch_ref,         # scalar prefetch [nb*9] i32
                      "interpret"))
 def _gather_call(wlo, wnch, qpack, se, sc, photons, *, K, cap2, filter_type,
                  f_a, f_b, f_k, interpret=False):
-    nb = wlo.shape[0] // 9
+    nb = wlo.shape[0] // 27
     B = qpack.shape[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -302,7 +312,7 @@ def estimate_radiance_pallas(grid, point, normal, exact_bounce, cos_theta,
     sort temporaries bounded (a single argsort over millions of walk-lane
     queries materialized a 1 GB padded temp on v5e), and the SMEM window
     tables scale with the per-call block count.  Each slice sorts its own
-    queries by cell, derives the 27 per-cell photon intervals and the 9
+    queries by cell, derives the 27 per-cell photon intervals and the 27
     per-block superwindows, launches the kernel, and unsorts."""
     B = point.shape[0]
     args = (point, normal, exact_bounce, cos_theta, kd, ks, shin)
@@ -334,6 +344,7 @@ def _pallas_chunk(grid, point, normal, exact_bounce, cos_theta,
     N = grid.pos.shape[0]
     B = point.shape[0]
     cap2 = float(estimate_dist) * float(estimate_dist)
+    cell_max = int(getattr(cfg, "gather_cell_max", 0) or 0)
 
     ijk = jnp.floor((point - grid.origin) * grid.inv_h).astype(jnp.int32)
     cid_sort = ((jnp.clip(ijk[:, 0], 0, nx - 1) * ny
@@ -343,16 +354,19 @@ def _pallas_chunk(grid, point, normal, exact_bounce, cos_theta,
     inv_order = jnp.argsort(order)
 
     def srt(x):
+        if x.ndim == 2:
+            return jnp.stack([x[:, c][order] for c in range(x.shape[1])],
+                             axis=-1)
         return x[order]
 
     point_s, normal_s, bounce_s = srt(point), srt(normal), srt(exact_bounce)
     cos_s, kd_s, ks_s, shin_s = (srt(cos_theta), srt(kd), srt(ks), srt(shin))
     ijk_s = ijk[order]
 
-    # 27 per-cell intervals, run-major (dx,dy), z-minor.  NOTE: unlike the
-    # jnp fallback, the kernel streams windows of ANY length, so over-full
-    # cells are read in full — no stochastic decimation, exact kNN even in
-    # caustic hot spots (scale stays 1).
+    # 27 per-cell intervals.  Cells above `cell_max` photons are truncated
+    # to their first cell_max (an unbiased sample — build_grid decorrelates
+    # within-cell order) with flux rescale count/cell_max, bounding dense-
+    # cell work; cell_max=0 streams every cell in full (exact kNN).
     starts, ends, scales = [], [], []
     BIG = jnp.int32(1 << 30)
     for dx in (-1, 0, 1):
@@ -368,9 +382,17 @@ def _pallas_chunk(grid, point, normal, exact_bounce, cos_theta,
                        + jnp.clip(cz, 0, nz - 1))
                 s = grid.cell_start[cid]
                 e = grid.cell_start[cid + 1]
+                if cell_max > 0:
+                    cnt = e - s
+                    trunc = cnt > cell_max
+                    e = jnp.where(trunc, s + cell_max, e)
+                    scl = jnp.where(
+                        trunc, cnt.astype(jnp.float32) / cell_max, 1.0)
+                else:
+                    scl = jnp.ones_like(s, jnp.float32)
                 starts.append(jnp.where(ok, s, BIG))
                 ends.append(jnp.where(ok, e, 0))
-                scales.append(jnp.ones_like(s, jnp.float32))
+                scales.append(scl)
     starts = jnp.stack(starts, axis=1)    # [B, 27]
     ends = jnp.stack(ends, axis=1)
     scales = jnp.stack(scales, axis=1)
@@ -394,8 +416,8 @@ def _pallas_chunk(grid, point, normal, exact_bounce, cos_theta,
     nb = (B + pad) // QB
     s_blk = jnp.where(se[:, :27] >= BIG, BIG, se[:, :27]).reshape(nb, QB, 27)
     e_blk = se[:, 27:54].reshape(nb, QB, 27)
-    run_lo = jnp.min(s_blk.reshape(nb, QB, 9, 3), axis=(1, 3))
-    run_hi = jnp.max(e_blk.reshape(nb, QB, 9, 3), axis=(1, 3))
+    run_lo = jnp.min(s_blk, axis=1)       # [nb, 27]
+    run_hi = jnp.max(e_blk, axis=1)
     # Mosaic requires lane-tile-aligned HBM slices: round window starts
     # down to the chunk width (the extra lanes mask out in-kernel).
     run_lo = (jnp.minimum(run_lo, N) // WCH) * WCH

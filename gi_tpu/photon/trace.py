@@ -224,14 +224,18 @@ def _emit_from_light(scene: Scene, i: int, kind: int, key, n: int,
     return o, d
 
 
-_STAGE1_DEPTH = 12   # wide-walk bounces before survivor compaction
+_STAGE1_DEPTH = 6    # wide-walk bounces before survivor compaction
+                     # (r4: caustic stores complete by depth ~4 in every
+                     # bundled scene; survivors that outlive the stage keep
+                     # storing from the narrow buffers, and overflow past a
+                     # narrow width triggers the exact discard-retry)
 
 
 @partial(jax.jit, static_argnames=("cfg", "counts", "map_type", "cap",
-                                   "narrow_div"))
+                                   "narrow_div", "per_lane"))
 def emit_round(scene: Scene, cfg: RenderConfig, key, counts: tuple,
                map_type: int, cap: int, cone_axis=None, cone_cos=None,
-               weight=None, narrow_div: int = 8):
+               weight=None, narrow_div: int = 8, per_lane: bool = False):
     """Trace one emission round.
 
     counts[i] photons from light i (static).  `cone_axis [L,3]`,
@@ -243,7 +247,21 @@ def emit_round(scene: Scene, cfg: RenderConfig, key, counts: tuple,
     n_wanted_stores, n_lost_lanes): n_wanted_stores can exceed cap and
     n_lost_lanes counts survivors dropped at the stage-2 compaction — the
     host discards the round and retries on either (exactness protocol).
+
+    `per_lane=True` (MAP_CAUSTIC only — a caustic walk stores at most
+    ONCE, photontracer.cpp:116-139) switches the store mechanism from
+    per-bounce prefix-sum scatters to per-lane masked writes: each lane
+    owns slot `orig` (its emission index) in full-width store arrays, so
+    the full-width stage-1 bounces store with vectorized selects instead
+    of 4M-lane scatters (profiled r4: the scatters dominated the walk at
+    ~6.5 s/4M-round), and stores can never overflow.  Returns
+    (components 7-tuple of [R] arrays (pos xyz, power rgb, dir code),
+    flag [R] bool, count, lost); the caller scatters flagged lanes into
+    its accumulator by prefix-sum (trace_photon_map's on-device append).
     """
+    if per_lane:
+        assert map_type == MAP_CAUSTIC, \
+            "per_lane store path requires single-store walks (caustic)"
     os_, ds_, ps_ = [], [], []
     for i, kind in enumerate(scene.lights.kind):
         n = counts[i]
@@ -273,8 +291,9 @@ def emit_round(scene: Scene, cfg: RenderConfig, key, counts: tuple,
     # per-iteration scatter into it runs ~15x slower than the natural 1-D
     # T(1024) layout (profiled on v5e: 9.7 s vs 0.65 s over a 128-deep
     # 1M-lane walk).
-    bufs = tuple(jnp.zeros((cap,)) for _ in range(6)) + (
-        jnp.zeros((cap,), jnp.int32),)
+    buf_w = R if per_lane else cap
+    bufs = tuple(jnp.zeros((buf_w,)) for _ in range(6)) + (
+        jnp.zeros((buf_w,), jnp.int32),)
 
     state = dict(
         key=key, o=o, d=d, power=power,
@@ -284,6 +303,9 @@ def emit_round(scene: Scene, cfg: RenderConfig, key, counts: tuple,
         count=jnp.asarray(0, jnp.int32),
         depth=jnp.asarray(0, jnp.int32),
     )
+    if per_lane:
+        state["flag"] = jnp.zeros((R,), bool)
+        state["orig"] = jnp.arange(R, dtype=jnp.int32)
 
     def cond(s):
         return (s["depth"] < cfg.max_photon_depth) & jnp.any(s["alive"])
@@ -294,11 +316,14 @@ def emit_round(scene: Scene, cfg: RenderConfig, key, counts: tuple,
         hit = intersect_scene(scene, s["o"], s["d"], t_min=0.0)
         live = s["alive"] & hit.valid
         mats = scene.materials
-        kd = mats.kd[hit.mat]
-        ks = mats.ks[hit.mat]
-        kt = mats.kt[hit.mat]
-        ir = mats.ir[hit.mat]
-        shin = mats.shininess[hit.mat]
+        # column-wise 1-D gathers (S.take_rows): a [M,3] row gather at 4M
+        # lanes costs 17 ms on v5e vs 0.11 ms column-wise — these five
+        # lookups were ~80% of the walk's per-bounce cost (r4 profile)
+        kd = S.take_rows(mats.kd, hit.mat)
+        ks = S.take_rows(mats.ks, hit.mat)
+        kt = S.take_rows(mats.kt, hit.mat)
+        ir = S.take_scalar(mats.ir, hit.mat)
+        shin = S.take_scalar(mats.shininess, hit.mat)
         is_d = jnp.any(kd > 0, axis=-1)
         is_transp = jnp.any(kt > 0, axis=-1)
 
@@ -308,13 +333,30 @@ def emit_round(scene: Scene, cfg: RenderConfig, key, counts: tuple,
         # ---- store at diffuse hits (StorePhoton, photon_utils.cpp:40-65):
         # incident direction = direction of travel (`view`)
         want = live & is_d & s["store"]
-        offset = jnp.cumsum(want.astype(jnp.int32)) - 1
-        slot = jnp.where(want, s["count"] + offset, cap)  # cap -> dropped
         cols = (hit.point[:, 0], hit.point[:, 1], hit.point[:, 2],
                 s["power"][:, 0], s["power"][:, 1], s["power"][:, 2],
                 S.encode_direction(view).astype(jnp.int32))
-        bufs = tuple(b.at[slot].set(c, mode="drop")
-                     for b, c in zip(s["bufs"], cols))
+        extra = {}
+        if per_lane:
+            # single-store walk: lane's record lives at its own emission
+            # slot.  Full-width stages write with vectorized selects (no
+            # scatter); compacted stages scatter by the (unique) original
+            # lane index — at 1/8th width or less, that scatter is cheap.
+            if B == R:
+                bufs = tuple(jnp.where(want, c, b)
+                             for b, c in zip(s["bufs"], cols))
+                flag = s["flag"] | want
+            else:
+                oidx = jnp.where(want, s["orig"], R)  # R -> dropped
+                bufs = tuple(b.at[oidx].set(c, mode="drop")
+                             for b, c in zip(s["bufs"], cols))
+                flag = s["flag"].at[oidx].set(True, mode="drop")
+            extra = dict(flag=flag, orig=s["orig"])
+        else:
+            offset = jnp.cumsum(want.astype(jnp.int32)) - 1
+            slot = jnp.where(want, s["count"] + offset, cap)  # cap: dropped
+            bufs = tuple(b.at[slot].set(c, mode="drop")
+                         for b, c in zip(s["bufs"], cols))
         count = s["count"] + jnp.sum(want, dtype=jnp.int32)
 
         # ---- Russian roulette with photon-colored probabilities
@@ -398,7 +440,7 @@ def emit_round(scene: Scene, cfg: RenderConfig, key, counts: tuple,
         new_o = jnp.where(alive[:, None], hit.point + new_d * eps, s["o"])
         return dict(key=key, o=new_o, d=new_d, power=new_pow, alive=alive,
                     store=new_store, bufs=bufs, count=count,
-                    depth=s["depth"] + 1)
+                    depth=s["depth"] + 1, **extra)
 
     # Staged walk with survivor compaction: nearly every walk ends within
     # a few bounces (a caustic photon stores at its first diffuse hit),
@@ -421,11 +463,15 @@ def emit_round(scene: Scene, cfg: RenderConfig, key, counts: tuple,
         idx = jnp.nonzero(alive, size=NW, fill_value=w)[0]
         lane_ok = idx < w
         cidx = jnp.clip(idx, 0, w - 1)
-        st2 = dict(key=st["key"], o=st["o"][cidx], d=st["d"][cidx],
-                   power=st["power"][cidx],
+        st2 = dict(key=st["key"], o=S.take_rows(st["o"], cidx),
+                   d=S.take_rows(st["d"], cidx),
+                   power=S.take_rows(st["power"], cidx),
                    alive=st["alive"][cidx] & lane_ok,
                    store=st["store"][cidx], bufs=st["bufs"],
                    count=st["count"], depth=st["depth"])
+        if per_lane:
+            st2["flag"] = st["flag"]          # full-width, NOT compacted
+            st2["orig"] = st["orig"][cidx]
         return st2, lost
 
     def staged_cond(limit):
@@ -448,6 +494,11 @@ def emit_round(scene: Scene, cfg: RenderConfig, key, counts: tuple,
             lost = lost + l2
 
     fb = st["bufs"]
+    if per_lane:
+        # keep the 1-D component arrays: the caller's on-device append
+        # scatters them straight into 1-D accumulators (same layout lesson
+        # as the store buffers above)
+        return fb, st["flag"], st["count"], lost
     return (jnp.stack(fb[0:3], axis=-1), jnp.stack(fb[3:6], axis=-1),
             fb[6], st["count"], lost)
 
@@ -494,6 +545,20 @@ def _grow(buf, keep, shape, dtype):
     if buf is not None and keep:
         new[:keep] = buf[:keep]
     return new
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def _append_round(acc: tuple, stores: tuple, flag, stored):
+    """Scatter one per-lane round's flagged stores into the on-device
+    accumulator arrays at offset `stored` (donated in place).  One R-wide
+    scatter per component per ROUND — vs. one per component per BOUNCE in
+    the host-buffer path — and no device->host payload copy at all (the
+    axon tunnel moves ~19 MB/s; a 4M-store round is ~86 MB)."""
+    offset = jnp.cumsum(flag.astype(jnp.int32)) - 1
+    oob = acc[0].shape[0]
+    idx = jnp.where(flag, stored + offset, oob)
+    return tuple(a.at[idx].set(v, mode="drop")
+                 for a, v in zip(acc, stores))
 
 
 def _fetch_prefix(arrays, lo, n, cap):
@@ -592,12 +657,59 @@ def trace_photon_map(scene: Scene, cfg: RenderConfig, key, map_type: int,
     attempts = 40
     overflow_rounds = 0
     narrow_div = 8
+    # Single-device caustic maps stay entirely ON DEVICE: per-lane store
+    # arrays are scattered once per round into preallocated accumulators
+    # (donated in place) and only the scalar counts cross to the host.
+    # This removes both per-bounce store scatters (emit_round per_lane)
+    # and the per-round device->host payload fetch (~19 MB/s through the
+    # axon tunnel — 4.5 s for one 4M-store round, profiled r4).
+    use_dev_acc = (mesh is None and map_type == MAP_CAUSTIC)
+    acc = None
+
     t0 = time.time()
     while stored < goal and attempts > 0:
+        if use_dev_acc:
+            key, sub = jax.random.split(key)
+            stores, flag, cnt, lost = emit_round(
+                scene, cfg, sub, counts, map_type, R, cone_axis, cone_cos,
+                weight, narrow_div=narrow_div, per_lane=True)
+            n_lost = int(lost)
+            if n_lost > 0:
+                # walk survivors past the stage-2 compaction width would
+                # silently lose flux: discard the round, widen the tail
+                overflow_rounds += 1
+                if overflow_rounds > 6:
+                    raise RuntimeError(
+                        f"photon walk loses {n_lost} lanes even after "
+                        f"{overflow_rounds - 1} narrow-tail retries")
+                narrow_div = max(1, narrow_div // 2)
+                continue
+            emitted += e_round
+            emitted_real += R
+            n_round = int(cnt)
+            if n_round > 0:
+                if acc is None:
+                    acc_cap = goal + _SIZES[-1] + 8 * max(1, len(powers))
+                    acc = tuple(jnp.zeros((acc_cap,)) for _ in range(6)) + (
+                        jnp.zeros((acc_cap,), jnp.int32),)
+                acc = _append_round(acc, stores, flag,
+                                    jnp.asarray(stored, jnp.int32))
+                stored += n_round
+            else:
+                attempts -= 1
+            if 0 < n_round and stored < goal and size_i < len(_SIZES) - 1:
+                eff = stored / max(emitted_real, 1)
+                need_emit = (goal - stored) / max(eff, 1e-9)
+                while (size_i < len(_SIZES) - 1
+                       and _SIZES[size_i] < need_emit / 2):
+                    size_i += 1
+                counts, R, cap, e_round, weight = _setup(_SIZES[size_i],
+                                                         cap_factor)
+            continue
         if h_pos is None or buf_cap < goal + cap * n_dev:
             buf_cap = goal + cap * n_dev
             h_pos = _grow(h_pos, stored, (buf_cap, 3), np.float32)
-            h_pow = _grow(h_pow, stored, (buf_cap, 3), np.float16)
+            h_pow = _grow(h_pow, stored, (buf_cap, 3), np.float32)
             h_dir = _grow(h_dir, stored, (buf_cap,), np.int32)
         key, sub = jax.random.split(key)
         if mesh is None:
@@ -681,11 +793,26 @@ def trace_photon_map(scene: Scene, cfg: RenderConfig, key, map_type: int,
     if stored == 0:
         return None, stats
 
-    pos = jnp.asarray(h_pos[:stored])
-    dircode = jnp.asarray(h_dir[:stored])
     # power normalization (photonmap.cpp:341-357)
     photon_power = total_power / emitted
-    power = jnp.asarray(h_pow[:stored].astype(np.float32) * photon_power)
+    if use_dev_acc:
+        # slice the device accumulators to the power-of-two bucket of the
+        # stored count (build_grid's compile-cache bucketing) and mark the
+        # tail invalid — no host round-trip of the photon payload at all
+        n_bucket = max(1024, 1 << int(np.ceil(np.log2(max(stored, 1)))))
+        n_bucket = min(n_bucket, acc[0].shape[0])
+        pos = jnp.stack([a[:n_bucket] for a in acc[0:3]], axis=-1)
+        power = jnp.stack([a[:n_bucket] for a in acc[3:6]],
+                          axis=-1) * photon_power
+        dircode = acc[6][:n_bucket]
+        valid = jnp.arange(n_bucket) < stored
+        jax.block_until_ready(pos)
+        acc = None  # free the accumulators before the grid build peak
+    else:
+        pos = jnp.asarray(h_pos[:stored])
+        dircode = jnp.asarray(h_dir[:stored])
+        power = jnp.asarray(h_pow[:stored] * np.float32(photon_power))
+        valid = jnp.ones((pos.shape[0],), bool)
 
     est_dist = (cfg.global_estimate_dist if map_type == MAP_GLOBAL
                 else cfg.caustic_estimate_dist)
@@ -694,7 +821,7 @@ def trace_photon_map(scene: Scene, cfg: RenderConfig, key, map_type: int,
     lo, hi = _scene_bbox(scene)
     cell_cap = max(64, 2 * est_size)
     t0 = time.time()
-    grid = build_grid(pos, power, dircode, jnp.ones((pos.shape[0],), bool),
+    grid = build_grid(pos, power, dircode, valid,
                       lo, hi, est_dist, cell_cap)
     jax.block_until_ready(grid.cell_start)
     stats["build_s"] = time.time() - t0

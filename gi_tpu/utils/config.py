@@ -105,6 +105,13 @@ class RenderConfig:
     shard_maps_threshold: int = 10_000_000  # auto-shard maps above this many
                                       # stored photons (replication is cheap
                                       # below ~10M at 20 B/photon)
+    gather_cell_max: int = 16384      # Pallas gather: photons streamed per
+                                      # grid cell before flux-rescaled
+                                      # truncation bounds dense-cell work
+                                      # (0 = unlimited/exact; within-cell
+                                      # order is decorrelated at build so
+                                      # the visible prefix is an unbiased
+                                      # sample)
 
     def replace(self, **kw) -> "RenderConfig":
         return dataclasses.replace(self, **kw)

@@ -106,6 +106,52 @@ def test_dispatch_via_pallas_mode():
     np.testing.assert_allclose(routed, direct, rtol=1e-6)
 
 
+def test_dense_cell_truncation_consistent():
+    """Density-bounded tier (round-4): cells above cfg.gather_cell_max are
+    truncated to a decorrelated prefix with flux rescale count/cell_max.
+    On a uniform SURFACE patch (photons live on 2D surfaces — the physical
+    case for an area-density estimate) the thinned K-NN estimate must match
+    the analytic flux density and the exact path to within the sampling
+    noise of one shared K-of-thinned draw (~1/sqrt(K), every query shares
+    the same fixed prefix so the noise is correlated, not averaging)."""
+    from gi_tpu.ops import sampling as S
+
+    rng = np.random.default_rng(7)
+    n = 4096
+    pos = np.zeros((n, 3), np.float32)
+    # all photons on a plane patch inside ONE 0.1-cell ([0.5,0.6)^3)
+    pos[:, 0:2] = rng.uniform(0.505, 0.595, (n, 2))
+    pos[:, 2] = 0.55
+    power = np.full((n, 3), 1e-4, np.float32)
+    code_dn = int(np.asarray(
+        S.encode_direction(jnp.asarray([[0.0, 0.0, -1.0]])))[0])
+    code = np.full(n, code_dn, np.int32)
+    grid = build_grid(jnp.asarray(pos), jnp.asarray(power),
+                      jnp.asarray(code), jnp.ones(n, bool),
+                      np.zeros(3), np.ones(3), 0.1, cell_cap=128)
+
+    b = 64
+    q = np.zeros((b, 3), np.float32)
+    q[:, 0:2] = rng.uniform(0.53, 0.57, (b, 2))
+    q[:, 2] = 0.55
+    nrm = np.tile(np.asarray([[0.0, 0.0, 1.0]], np.float32), (b, 1))
+    args = (jnp.asarray(q), jnp.asarray(nrm), jnp.asarray(nrm),
+            jnp.ones(b), jnp.ones((b, 3)), jnp.zeros((b, 3)),
+            jnp.ones(b))
+    K, dist = 64, 0.1
+    analytic = n / (0.09 * 0.09) * 1e-4  # flux/area; kd=1, |n.inc|=1
+    exact = np.asarray(estimate_radiance_pallas(
+        grid, *args, K, dist, 0, CFG.replace(gather_cell_max=0),
+        interpret=True))
+    assert abs(exact.mean() - analytic) / analytic < 0.1
+    for cm in (1024, 256):
+        trunc = np.asarray(estimate_radiance_pallas(
+            grid, *args, K, dist, 0, CFG.replace(gather_cell_max=cm),
+            interpret=True))
+        rel = abs(trunc.mean() - exact.mean()) / exact.mean()
+        assert rel < 0.25, (cm, rel)
+
+
 def test_query_chunking_matches_single_call(monkeypatch):
     """Batches beyond _QCHUNK are sliced around the kernel (SMEM window
     tables scale with query count); the sliced path must equal the

@@ -159,6 +159,51 @@ def test_caustic_emission_round(cornell_scene):
     assert p[:, 1].min() > -1e-3 and p[:, 1].max() < 1.2
 
 
+def test_per_lane_store_path_matches_scatter_path(cornell_scene):
+    """The per-lane caustic store path (round-4: masked where-writes +
+    one end-of-round scatter, replacing per-bounce prefix-sum scatters)
+    must record the exact same multiset of photons as the scatter path
+    for the same key."""
+    from gi_tpu.photon.trace import MAP_CAUSTIC, emit_round
+    cfg = RenderConfig(max_photon_depth=24)
+    key = jax.random.PRNGKey(3)
+    counts = (8192,)
+    pos, power, code, cnt, lost = emit_round(
+        cornell_scene, cfg, key, counts, MAP_CAUSTIC, 4 * 8192)
+    stores, flag, cnt2, lost2 = emit_round(
+        cornell_scene, cfg, key, counts, MAP_CAUSTIC, 8192, per_lane=True)
+    n = int(cnt)
+    assert int(cnt2) == n and int(lost2) == int(lost) == 0
+    f = np.asarray(flag)
+    assert f.sum() == n
+    a = np.concatenate([np.asarray(pos[:n]), np.asarray(power[:n]),
+                        np.asarray(code[:n], np.float32)[:, None]], axis=1)
+    b = np.stack([np.asarray(s)[f] for s in stores], axis=1)
+    # same multiset: sort both by a stable lexicographic key
+    a = a[np.lexsort(a.T)]
+    b = b[np.lexsort(b.T)]
+    np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-7)
+
+
+def test_caustic_trace_on_device_accumulation(cornell_scene):
+    """trace_photon_map's on-device accumulator path (single-device
+    caustic) produces a grid whose valid photons all lie on scene
+    surfaces and whose flux matches the quota-loop accounting."""
+    from gi_tpu.photon.trace import MAP_CAUSTIC, trace_photon_map
+    cfg = RenderConfig(caustic_photon_count=2000, max_photon_depth=16)
+    grid, stats = trace_photon_map(cornell_scene, cfg,
+                                   jax.random.PRNGKey(5), MAP_CAUSTIC)
+    assert grid is not None
+    assert int(stats["stored"]) >= 2000
+    v = np.asarray(grid.valid)
+    assert v.sum() == int(stats["stored"])
+    p = np.asarray(grid.pos)[v]
+    assert np.isfinite(p).all()
+    assert p[:, 1].min() > -1e-3 and p[:, 1].max() < 1.2
+    pw = np.asarray(grid.power.astype(jnp.float32))[v]
+    assert (pw >= 0).all() and np.isfinite(pw).all() and pw.max() > 0
+
+
 def test_global_map_build(cornell_scene):
     from gi_tpu.photon.trace import MAP_GLOBAL, trace_photon_map
     cfg = RenderConfig(global_photon_count=2000, max_photon_depth=16)
