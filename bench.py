@@ -194,11 +194,14 @@ def _bench_photon_trace(goal, metric, baseline_pps, depth=128,
 
 def _timed_subset_render(scene, cfg, maps, fraction, seed=0):
     """Time a random `fraction` of the supersample batch; return
-    (estimated full-frame seconds, compile seconds, fraction)."""
+    (estimated full-frame seconds, compile seconds, fraction).  Big
+    replicated maps defer their photon-map requests out of the tile
+    program; answering them (the production path, models/render.py) is
+    part of the timed work."""
     import jax
     import jax.numpy as jnp
     import numpy as np
-    from gi_tpu.models.render import render_tile
+    from gi_tpu.models.render import _answer_queue_host, render_tile
 
     aa_factor = 2 ** cfg.aa
     sw, sh = cfg.width * aa_factor, cfg.height * aa_factor
@@ -209,19 +212,34 @@ def _timed_subset_render(scene, cfg, maps, fraction, seed=0):
     rng = np.random.default_rng(seed)
     chosen = rng.choice(n_tiles, size=n_sample, replace=False)
 
+    def run_one(sub, idx):
+        out = render_tile(scene, cfg, sub, idx, sw, sh, maps)
+        if isinstance(out, tuple) and len(out) == 4:
+            color, _counters, cq, gq = out
+            if cq is not None:
+                color, _ = _answer_queue_host(
+                    maps.caustic, cq, color, cfg.caustic_estimate_size,
+                    cfg.caustic_estimate_dist, cfg.caustic_filter, cfg)
+            if gq is not None:
+                color, _ = _answer_queue_host(
+                    maps.global_, gq, color, cfg.global_estimate_size,
+                    cfg.global_estimate_dist, cfg.global_filter, cfg,
+                    cached=cfg.irradiance_cache)
+            n_dof = cfg.dof_test if cfg.depth_of_field else 1
+            return color.reshape(-1, n_dof, 3).mean(axis=1)
+        return out
+
     key = jax.random.PRNGKey(cfg.seed)
     idx0 = jnp.arange(tile, dtype=jnp.int32)
     t0 = time.time()
-    render_tile(scene, cfg, key, idx0, sw, sh, maps).block_until_ready()
+    jax.block_until_ready(run_one(key, idx0))
     compile_s = time.time() - t0
 
     t0 = time.perf_counter()
-    outs = []
     for t in chosen:
         key, sub = jax.random.split(key)
         idx = int(t) * tile + jnp.arange(tile, dtype=jnp.int32)
-        outs.append(render_tile(scene, cfg, sub, idx, sw, sh, maps))
-    jax.block_until_ready(outs)
+        jax.block_until_ready(run_one(sub, idx))
     elapsed = time.perf_counter() - t0
     return elapsed * (n_tiles / n_sample), compile_s, n_sample / n_tiles
 

@@ -133,6 +133,57 @@ def _empty_queue(cap: int) -> GatherQueue:
                        count=jnp.asarray(0, jnp.int32))
 
 
+def _lane_queue_init(width: int, n_rows: int) -> tuple:
+    """Per-lane request slots (data 20-tuple, valid, rows) — lane i owns
+    slot i, writes are vectorized selects (full-width stages) or small
+    orig-indexed scatters (compacted stages)."""
+    far = jnp.full((width,), 1e9)
+    data = (far, far, far) + tuple(jnp.zeros((width,)) for _ in range(17))
+    return (data, jnp.zeros((width,), bool),
+            jnp.full((width,), n_rows, jnp.int32))
+
+
+def _lane_queue_write(lq: tuple, fresh, orig, cols: tuple, row,
+                      full_width: bool) -> tuple:
+    data, valid, rows = lq
+    if full_width:
+        data = tuple(jnp.where(fresh, c, a) for a, c in zip(data, cols))
+        valid = valid | fresh
+        rows = jnp.where(fresh, row, rows)
+    else:
+        w0 = valid.shape[0]
+        oidx = jnp.where(fresh, orig, w0)
+        data = tuple(a.at[oidx].set(c, mode="drop")
+                     for a, c in zip(data, cols))
+        valid = valid.at[oidx].set(True, mode="drop")
+        rows = rows.at[oidx].set(row, mode="drop")
+    return (data, valid, rows)
+
+
+def _lane_queue_pack(lq: tuple, cap: int,
+                     extra: GatherQueue | None = None) -> GatherQueue:
+    """Prefix-compact a per-lane queue into a GatherQueue (one scatter per
+    column, once per walk), appending `extra` (the overflow queue)."""
+    data, valid, rows = lq
+    off = jnp.cumsum(valid.astype(jnp.int32)) - 1
+    slot = jnp.where(valid, off, cap)
+    base = _empty_queue(cap)
+    out = tuple(b.at[slot].set(c, mode="drop")
+                for b, c in zip(base.data, data))
+    row = base.row.at[slot].set(rows, mode="drop")
+    n1 = jnp.sum(valid, dtype=jnp.int32)
+    count = n1
+    if extra is not None:
+        ecap = extra.row.shape[0]
+        lane = jnp.arange(ecap, dtype=jnp.int32)
+        idx2 = jnp.where(lane < extra.count, n1 + lane, cap)
+        out = tuple(b.at[idx2].set(c, mode="drop")
+                    for b, c in zip(out, extra.data))
+        row = row.at[idx2].set(extra.row, mode="drop")
+        count = count + extra.count
+    return GatherQueue(data=out, row=row, count=count)
+
+
 def _enqueue(q: GatherQueue, want, point, normal, bounce, ct, kd, ks, shin,
              weight, row) -> GatherQueue:
     """Masked prefix-sum scatter of requests; slots past the cap drop (the
@@ -169,8 +220,23 @@ class WalkState:
                           # transposed-tiled and run ~15x slower)
     depth: jnp.ndarray    # [] int32
     counters: jnp.ndarray  # [ST.N_COUNTERS] int32 dispatched-ray counters
-    cq: GatherQueue | None = None  # deferred caustic requests
-    gq: GatherQueue | None = None  # deferred global-map requests
+    cq: GatherQueue | None = None   # caustic OVERFLOW requests (a lane's
+                                    # second+ request — mixed kd+kt/ks
+                                    # materials only; cond-gated scatter)
+    gq: GatherQueue | None = None   # deferred global-map requests
+                                    # (scatter mode — used when per-lane
+                                    # mode is off)
+    orig: jnp.ndarray | None = None  # [W] original lane id (per-lane
+                                    # queue slot through compaction)
+    cql: tuple | None = None  # per-lane caustic queue (data20, valid,
+                              # rows) — full-width, one slot per lane:
+                              # per-bounce enqueues are vectorized selects
+                              # instead of 21 full-width scatters (~30 ms
+                              # EACH at 2.1M lanes, r4 profile: the walk
+                              # spent 7.3 of its 7.5 s in them)
+    gql: tuple | None = None  # per-lane global-map queue (same layout;
+                              # a lane's global request coincides with
+                              # its death, so one slot always suffices)
 
 
 def _bounce_eps(scene):
@@ -240,8 +306,15 @@ def mc_walk(scene: Scene, cfg: RenderConfig, key, o, d, weight, phase, alive,
         color=tuple(jnp.zeros((n_rows,)) for _ in range(3)),
         depth=jnp.asarray(0, jnp.int32),
         counters=jnp.zeros((ST.N_COUNTERS,), jnp.int32),
-        cq=_empty_queue(cap_c) if defer_caustic else None,
-        gq=_empty_queue(cap_g) if defer_global else None)
+        # per-lane request slots; cq holds only OVERFLOW (a lane's 2nd+
+        # caustic request — possible only at mixed diffuse+spec/transmissive
+        # materials; a global request coincides with lane death, so gql
+        # never overflows)
+        cq=_empty_queue(min(cap_c, 4 * n_rows)) if defer_caustic else None,
+        gq=None,
+        orig=jnp.arange(B, dtype=jnp.int32) if defer else None,
+        cql=_lane_queue_init(B, n_rows) if defer_caustic else None,
+        gql=_lane_queue_init(B, n_rows) if defer_global else None)
 
     mc_shadow_factor = _shadow_rays_per_light(scene, cfg, in_monte_carlo=True)
 
@@ -289,6 +362,9 @@ def mc_walk(scene: Scene, cfg: RenderConfig, key, o, d, weight, phase, alive,
         # ---- per-bounce shading for PathTrace lanes --------------------
         cq = s.cq
         gq = s.gq
+        cql = s.cql
+        gql = s.gql
+        full_w = Bw == B   # stage-1: per-lane writes are pure selects
         if cfg.monte_carlo:
             buffer = jnp.zeros((Bw, 3))
             if cfg.ambient:
@@ -303,9 +379,33 @@ def mc_walk(scene: Scene, cfg: RenderConfig, key, o, d, weight, phase, alive,
                 exact = S.reflective_bounce(hit.normal, view, cos_theta)
                 is_d_ = jnp.any(kd > 0, axis=-1)
                 want = in_path & is_d_
-                cq = _enqueue(cq, want, hit.point, hit.normal, exact,
-                              cos_theta, kd, ks, shin,
-                              s.weight * s.scale, s.row)
+                wz = jnp.where(want[:, None], s.weight * s.scale, 0.0)
+                cols = (hit.point[:, 0], hit.point[:, 1], hit.point[:, 2],
+                        hit.normal[:, 0], hit.normal[:, 1], hit.normal[:, 2],
+                        exact[:, 0], exact[:, 1], exact[:, 2], cos_theta,
+                        kd[:, 0], kd[:, 1], kd[:, 2],
+                        ks[:, 0], ks[:, 1], ks[:, 2], shin,
+                        wz[:, 0], wz[:, 1], wz[:, 2])
+                had = cql[1] if full_w else cql[1][s.orig]
+                fresh = want & ~had
+                # cond-gate the 20-column queue write: it rewrites the
+                # full-width arrays (~170 MB at the reference's -tt/-st
+                # expansion) and most bounces of a walk enqueue nothing
+                cql = jax.lax.cond(
+                    jnp.any(fresh),
+                    lambda q: _lane_queue_write(q, fresh, s.orig, cols,
+                                                s.row, full_w),
+                    lambda q: q, cql)
+                # 2nd+ request of a lane (mixed kd+kt/ks material):
+                # cond-gated scatter into the small overflow queue —
+                # scenes without such materials never pay the scatters
+                over = want & had
+                cq = jax.lax.cond(
+                    jnp.any(over),
+                    lambda q: _enqueue(q, over, hit.point, hit.normal,
+                                       exact, cos_theta, kd, ks, shin,
+                                       s.weight * s.scale, s.row),
+                    lambda q: q, cq)
                 counters = counters.at[ST.CAUSTIC].add(
                     jnp.sum(want, dtype=jnp.int32))
             color = add_color(color, in_path, buffer * s.weight, s)
@@ -374,10 +474,21 @@ def mc_walk(scene: Scene, cfg: RenderConfig, key, o, d, weight, phase, alive,
 
         if defer_global:
             exact = S.reflective_bounce(hit.normal, view, cos_theta)
-            gq = _enqueue(gq, glob_want, hit.point, hit.normal, exact,
-                          cos_theta, kd, ks, shin,
-                          kd * s.weight / safe_pd[:, None] * s.scale,
-                          s.row)
+            gw = kd * s.weight / safe_pd[:, None] * s.scale
+            gwz = jnp.where(glob_want[:, None], gw, 0.0)
+            gcols = (hit.point[:, 0], hit.point[:, 1], hit.point[:, 2],
+                     hit.normal[:, 0], hit.normal[:, 1], hit.normal[:, 2],
+                     exact[:, 0], exact[:, 1], exact[:, 2], cos_theta,
+                     kd[:, 0], kd[:, 1], kd[:, 2],
+                     ks[:, 0], ks[:, 1], ks[:, 2], shin,
+                     gwz[:, 0], gwz[:, 1], gwz[:, 2])
+            # a lane's global request coincides with its death -> the
+            # per-lane slot can never be taken twice
+            gql = jax.lax.cond(
+                jnp.any(glob_want),
+                lambda q: _lane_queue_write(q, glob_want, s.orig, gcols,
+                                            s.row, full_w),
+                lambda q: q, gql)
         die = die | d_ind
 
         # ---- transmissive branch ---------------------------------------
@@ -436,7 +547,7 @@ def mc_walk(scene: Scene, cfg: RenderConfig, key, o, d, weight, phase, alive,
                          phase=new_phase, alive=alive, row=s.row,
                          scale=s.scale, color=color,
                          depth=s.depth + 1, counters=counters,
-                         cq=cq, gq=gq)
+                         cq=cq, gq=gq, orig=s.orig, cql=cql, gql=gql)
 
     def walk_compact(st, NW):
         """Gather surviving lanes into an NW-wide stage (color/counters/
@@ -455,7 +566,10 @@ def mc_walk(scene: Scene, cfg: RenderConfig, key, o, d, weight, phase, alive,
             row=jnp.where(lane_ok, st.row[cidx], n_rows),
             scale=st.scale[cidx], color=st.color, depth=st.depth,
             counters=st.counters.at[ST.DROPPED_GATHER].add(dropped),
-            cq=st.cq, gq=st.gq)
+            cq=st.cq, gq=st.gq,
+            orig=(jnp.where(lane_ok, st.orig[cidx], B)
+                  if st.orig is not None else None),
+            cql=st.cql, gql=st.gql)
 
     def cond_upto(limit):
         def c(s):
@@ -488,7 +602,13 @@ def mc_walk(scene: Scene, cfg: RenderConfig, key, o, d, weight, phase, alive,
                 final = jax.lax.while_loop(cond, body, final)
     color_out = jnp.stack(final.color, axis=-1)
     if defer:
-        return color_out, final.counters, final.cq, final.gq
+        # prefix-compact the per-lane slots once (21 scatters per queue
+        # per WALK instead of per bounce)
+        cq_out = (_lane_queue_pack(final.cql, cap_c, extra=final.cq)
+                  if defer_caustic else None)
+        gq_out = (_lane_queue_pack(final.gql, cap_g)
+                  if defer_global else None)
+        return color_out, final.counters, cq_out, gq_out
     return color_out, final.counters
 
 
@@ -519,7 +639,23 @@ def shade_secondary(scene: Scene, cfg: RenderConfig, key, hit, ray_o, ray_d,
         global_grid = photon_maps.global_ if photon_maps is not None else None
         has_caustic = caustic_grid is not None
         has_global = global_grid is not None
+    # mirror mc_walk's gating: a map only defers when its layer is on
+    has_caustic = has_caustic and cfg.caustic_illum
+    has_global = has_global and (cfg.indirect_illum or cfg.fast_global
+                                 or cfg.direct_photon_illum)
     defer = has_caustic or has_global
+    # Big (subcell-table) replicated maps: return the queues to the HOST
+    # instead of answering in-program.  The queue capacity covers the
+    # worst case (one request per walk lane — 2.1M at the reference's
+    # -tt/-st 128 expansion), but the filled prefix is usually a few
+    # thousand: answering inside the tile program paid the full-capacity
+    # kNN every tile (47 s — past the 60 s device watchdog), while the
+    # host slices the REAL count and answers right-sized (render_image).
+    defer_out = (not sharded) and (
+        (has_caustic and caustic_grid is not None
+         and caustic_grid.sub_div > 1)
+        or (has_global and global_grid is not None
+            and global_grid.sub_div > 1))
     cq = gq = None
 
     counters = jnp.zeros((ST.N_COUNTERS,), jnp.int32)
@@ -649,11 +785,11 @@ def shade_secondary(scene: Scene, cfg: RenderConfig, key, hit, ray_o, ray_d,
         gq = _enqueue(gq, hit.valid & is_d, hit.point, hit.normal, exact,
                       cos_theta, kd, ks, shin, jnp.ones((B, 3)), prim_row)
 
-    if sharded:
+    if sharded or defer_out:
         return color, counters, cq, gq
 
-    # Replicated maps: answer the queues locally, one batched gather per
-    # map; scatter-add est*weight at the recorded rows.
+    # Small replicated maps: answer the queues locally, one batched gather
+    # per map; scatter-add est*weight at the recorded rows.
     if cq is not None:
         est = gather.estimate_radiance(
             caustic_grid, cq.point, cq.normal, cq.bounce, cq.ct,

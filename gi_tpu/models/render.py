@@ -104,6 +104,75 @@ def render_tile(scene: Scene, cfg: RenderConfig, key, pixel_idx: jnp.ndarray,
     return color, counters
 
 
+def _answer_queue_host(grid, q, color, est_size, est_dist, filt, cfg,
+                       cached: bool = False):
+    """Answer a deferred GatherQueue outside the tile program: slice the
+    filled prefix (bucketed to 8192 rows for compile-cache stability), run
+    ONE right-sized batched gather, scatter-add est*weight at the queue
+    rows.  Returns (color, n_dropped).  The host slice is what makes big
+    maps affordable: queue capacity is one request per walk lane (~2.1M at
+    the reference's -tt/-st 128 expansion) but the filled prefix is
+    typically a few thousand."""
+    from ..photon import gather as G
+
+    cap = q.row.shape[0]
+    count = int(q.count)
+    n = min(count, cap)
+    if n == 0:
+        return color, max(count - cap, 0)
+    def _bucket(m):
+        # 1x / 1.5x power-of-two steps: few distinct compile shapes
+        # (every distinct slice size compiles its own gather executable,
+        # ~minutes through the remote-compile tunnel), <= 33% overshoot
+        p2 = 1 << max(13, (m - 1).bit_length())
+        return p2 if m > 3 * p2 // 4 else 3 * p2 // 4
+
+    bucket = min(cap, _bucket(n))
+    d = [c[:bucket] for c in q.data]
+    rows = q.row[:bucket]
+
+    # EXACT dedupe: non-distributed transmissive/specular spawns trace
+    # -tt/-st identical rays (the reference averages up to 128 identical
+    # samples, raytracer.cpp:57-110), so most requests are copies of the
+    # same (row, point) with the same estimate — merge their weights and
+    # answer each distinct query once (central caustic tiles: ~500k
+    # requests -> a few thousand distinct).
+    key_sorted = jnp.lexsort((d[2][:], d[1][:], d[0][:], rows))
+    ds = [c[key_sorted] for c in d]
+    rs = rows[key_sorted]
+    neq = ((rs[1:] != rs[:-1]) | (ds[0][1:] != ds[0][:-1])
+           | (ds[1][1:] != ds[1][:-1]) | (ds[2][1:] != ds[2][:-1]))
+    uniq = jnp.concatenate([jnp.ones((1,), bool), neq])
+    seg = jnp.cumsum(uniq.astype(jnp.int32)) - 1
+    n_u = int(seg[-1]) + 1
+    bucket_u = min(bucket, _bucket(n_u))
+    # duplicates have IDENTICAL fields, so scatter-set per segment is
+    # order-independent; weights scatter-ADD (the merge)
+    rep = [jnp.zeros((bucket,), c.dtype).at[seg].set(c)[:bucket_u]
+           for c in ds[:17]]
+    w_sum = [jnp.zeros((bucket,)).at[seg].add(c)[:bucket_u]
+             for c in ds[17:20]]
+    rep_rows = jnp.full((bucket,), cap, jnp.int32).at[seg].set(
+        rs)[:bucket_u]
+
+    pt = jnp.stack(rep[0:3], 1)
+    nm = jnp.stack(rep[3:6], 1)
+    bo = jnp.stack(rep[6:9], 1)
+    ct = rep[9]
+    kd = jnp.stack(rep[10:13], 1)
+    ks = jnp.stack(rep[13:16], 1)
+    sh_ = rep[16]
+    w = jnp.stack(w_sum, 1)
+    if cached:
+        est = G.estimate_cached_radiance(grid, pt, nm, bo, ct, kd, ks, sh_,
+                                         est_dist)
+    else:
+        est = G.estimate_radiance(grid, pt, nm, bo, ct, kd, ks, sh_,
+                                  est_size, est_dist, filt, cfg)
+    color = color.at[rep_rows].add(est * w, mode="drop")
+    return color, max(count - cap, 0)
+
+
 def render_image(scene: Scene, cfg: RenderConfig, photon_maps=None,
                  progress=None, stats=None, mesh=None) -> np.ndarray:
     """Render the full image; returns [H,W,3] float (row 0 = bottom).
@@ -164,6 +233,28 @@ def render_image(scene: Scene, cfg: RenderConfig, photon_maps=None,
         else:
             out = render_tile(scene, cfg, sub, idx, sw, sh, photon_maps,
                               with_stats=stats is not None)
+            if isinstance(out, tuple) and len(out) == 4:
+                # big replicated maps: the tile deferred its photon-map
+                # requests — answer the queues' REAL prefix here (the
+                # capacity covers one request per walk lane; answering
+                # in-program paid full-capacity kNN per tile)
+                color, counters, cq, gq = out
+                if cq is not None:
+                    color, d = _answer_queue_host(
+                        photon_maps.caustic, cq, color,
+                        cfg.caustic_estimate_size, cfg.caustic_estimate_dist,
+                        cfg.caustic_filter, cfg)
+                    dropped_gathers += d
+                if gq is not None:
+                    color, d = _answer_queue_host(
+                        photon_maps.global_, gq, color,
+                        cfg.global_estimate_size, cfg.global_estimate_dist,
+                        cfg.global_filter, cfg,
+                        cached=cfg.irradiance_cache)
+                    dropped_gathers += d
+                n_dof = cfg.dof_test if cfg.depth_of_field else 1
+                color = color.reshape(tile, n_dof, 3).mean(axis=1)
+                out = (color, counters) if stats is not None else color
         if stats is not None:
             out, counters = out
             stats.add(np.asarray(counters))

@@ -44,6 +44,12 @@ class PhotonGrid:
     # static metadata
     dims: tuple = struct.field(pytree_node=False)      # (nx, ny, nz)
     cell_cap: int = struct.field(pytree_node=False)    # max photons read/cell
+    sub_div: int = struct.field(pytree_node=False)     # subcell subdivision
+                             # per axis (1 = no subcell table).  When > 1,
+                             # photons are sorted by (cell, linear subcell)
+                             # and `sub_start` indexes subcell runs — the
+                             # table the v2 gather derives per-query search
+                             # radii from WITHOUT streaming photons.
     # traced
     origin: jnp.ndarray      # [3]
     inv_h: jnp.ndarray       # [] 1 / cell size
@@ -56,6 +62,7 @@ class PhotonGrid:
                              # decoded incident xyz (rest zero padding) —
                              # the Pallas gather kernel's DMA-friendly,
                              # Mosaic-tiling-aligned SoA layout
+    sub_start: jnp.ndarray | None = None  # [ncells*sub_div^3+1] int32
 
     @property
     def n_cells(self) -> int:
@@ -87,18 +94,36 @@ class ShardedMaps:
     global_rep: PhotonGrid | None = None
 
 
+# v2-gather subcell table policy: maps at/above this photon count get a
+# per-cell subcell index (the τ-derivation table); below it, the v1
+# 27-window streaming path is cheap anyway.
+_SUBDIV_MIN_PHOTONS = 1 << 20
+_SUBDIV_MAX_ENTRIES = 1 << 24
+
+
+def _pick_sub_div(n_photons: int, n_cells: int) -> int:
+    if n_photons < _SUBDIV_MIN_PHOTONS:
+        return 1
+    for s in (8, 4, 2):
+        if n_cells * s ** 3 <= _SUBDIV_MAX_ENTRIES:
+            return s
+    return 1
+
+
 def build_grid(pos: jnp.ndarray, power: jnp.ndarray, dir_code: jnp.ndarray,
                valid: jnp.ndarray, bbox_lo: np.ndarray, bbox_hi: np.ndarray,
                cell_size: float, cell_cap: int,
                max_dim: int = 256, dims: tuple | None = None,
-               decorrelate: bool = True) -> PhotonGrid:
+               decorrelate: bool = True,
+               sub_div: int | None = None) -> PhotonGrid:
     """Sort photons into a uniform grid.  bbox/cell_size are host values
     (static grid dims); photon arrays are device tensors.  `dims` overrides
     the derived grid dimensions (checkpoint restore passes the saved ones so
     the rebuilt grid is bit-identical).  `decorrelate=False` skips the
     within-cell permutation — checkpoint restore passes it because saved
     photons are already in a (decorrelated) cell-sorted order, and skipping
-    it makes the rebuilt grid's photon ORDER bit-identical too."""
+    it makes the rebuilt grid's photon ORDER bit-identical too.  `sub_div`
+    overrides the subcell-table policy (tests force it on small maps)."""
     span = np.maximum(np.asarray(bbox_hi) - np.asarray(bbox_lo), 1e-6)
     cell = float(max(cell_size, span.max() / max_dim))
     if dims is None:
@@ -122,35 +147,46 @@ def build_grid(pos: jnp.ndarray, power: jnp.ndarray, dir_code: jnp.ndarray,
         dir_code = jnp.pad(dir_code, (0, pad))
         valid = jnp.pad(valid, (0, pad))
 
+    if sub_div is None:
+        sub_div = _pick_sub_div(n_in, n_cells)
     origin = jnp.asarray(np.asarray(bbox_lo, np.float32))
     inv_h = jnp.asarray(np.float32(1.0 / cell))
     outs = _build_grid_device(pos, power, dir_code, valid, origin, inv_h,
-                              dims=dims, decorrelate=decorrelate)
-    pos_s, power_s, code_s, valid_s, cell_start, packed = outs
+                              dims=dims, decorrelate=decorrelate,
+                              sub_div=int(sub_div))
+    pos_s, power_s, code_s, valid_s, cell_start, packed, sub_start = outs
     return PhotonGrid(
-        dims=dims, cell_cap=int(cell_cap), origin=origin, inv_h=inv_h,
+        dims=dims, cell_cap=int(cell_cap), sub_div=int(sub_div),
+        origin=origin, inv_h=inv_h,
         pos=pos_s, power=power_s,
         dir_code=code_s, valid=valid_s,
-        cell_start=cell_start, packed=packed)
+        cell_start=cell_start, packed=packed, sub_start=sub_start)
 
 
-@partial(jax.jit, static_argnames=("dims", "decorrelate"))
+@partial(jax.jit, static_argnames=("dims", "decorrelate", "sub_div"))
 def _build_grid_device(pos, power, dir_code, valid, origin, inv_h, *,
-                       dims, decorrelate):
+                       dims, decorrelate, sub_div=1):
     """Device portion of build_grid under ONE jit: XLA plans buffer reuse
     across the permutation/sort/gather/pack chain instead of materializing
     every eager intermediate — at 67M padded rows the eager version held
     ~4 transient copies of the [16, N] pack and OOM'd 16 GB HBM during
     the 50M-photon build (round-4).  Inputs are NOT donated: callers
-    rebuild grids from live grid fields (e.g. ring-gather tests)."""
+    rebuild grids from live grid fields (e.g. ring-gather tests).
+
+    With sub_div > 1, photons sort by (cell, linear x-major subcell id)
+    and `sub_start` indexes every subcell run: the v2 gather derives each
+    query's search radius from the subcell COUNTS (no photon streaming)
+    and streams only the subcell ranges its radius touches."""
     nx, ny, nz = dims
     n_cells = nx * ny * nz
+    S3 = sub_div ** 3
 
-    # Decorrelate within-cell order with a fixed odd-stride permutation
-    # (bijective — the padded count is a power of two): the stable sort
-    # below then leaves each cell's photons in pseudo-random order, so the
-    # Pallas gather's dense-cell truncation (`gather_cell_max`) sees an
-    # unbiased sample instead of correlated early-round arrivals.
+    # Decorrelate within-(sub)cell order with a fixed odd-stride
+    # permutation (bijective — the padded count is a power of two): the
+    # stable sort below then leaves each bucket's photons in pseudo-random
+    # order, so the Pallas gather's dense-cell truncation
+    # (`gather_cell_max`) sees an unbiased sample instead of correlated
+    # early-round arrivals.
     if decorrelate:
         n_pad = pos.shape[0]
         assert n_pad & (n_pad - 1) == 0, \
@@ -160,16 +196,26 @@ def _build_grid_device(pos, power, dir_code, valid, origin, inv_h, *,
         pos, power = S.take_rows(pos, perm), S.take_rows(power, perm)
         dir_code, valid = dir_code[perm], valid[perm]
 
-    ijk = jnp.clip(jnp.floor((pos - origin) * inv_h).astype(jnp.int32),
-                   0, jnp.asarray([nx - 1, ny - 1, nz - 1]))
+    # fine (subcell) coords first; coarse cell = fine // sub_div, so photon
+    # binning and the v2 wrapper's query-side floor() agree exactly
+    fine_dims = jnp.asarray([nx * sub_div - 1, ny * sub_div - 1,
+                             nz * sub_div - 1])
+    fine = jnp.clip(
+        jnp.floor((pos - origin) * (inv_h * sub_div)).astype(jnp.int32),
+        0, fine_dims)
+    ijk = fine // sub_div
+    sub = fine - ijk * sub_div
     cid = (ijk[:, 0] * ny + ijk[:, 1]) * nz + ijk[:, 2]
-    cid = jnp.where(valid, cid, n_cells)  # invalid photons sort last
+    subid = (sub[:, 0] * sub_div + sub[:, 1]) * sub_div + sub[:, 2]
+    key = cid * S3 + subid
+    key = jnp.where(valid, key, n_cells * S3)  # invalid photons sort last
 
-    order = jnp.argsort(cid)
-    cid_sorted = cid[order]
-    cell_start = jnp.searchsorted(
-        cid_sorted, jnp.arange(n_cells + 1, dtype=cid_sorted.dtype)
+    order = jnp.argsort(key)
+    key_sorted = key[order]
+    sub_start = jnp.searchsorted(
+        key_sorted, jnp.arange(n_cells * S3 + 1, dtype=key_sorted.dtype)
     ).astype(jnp.int32)
+    cell_start = sub_start[::S3]
 
     pos_s = S.take_rows(pos, order)
     power_s = S.take_rows(power, order).astype(jnp.bfloat16)
@@ -182,7 +228,8 @@ def _build_grid_device(pos, power, dir_code, valid, origin, inv_h, *,
         jnp.concatenate([pos_s.T, power_s.astype(jnp.float32).T,
                          S.decode_direction(code_s).T], axis=0),
         (0, 0))
-    return pos_s, power_s, code_s, valid[order], cell_start, packed
+    return (pos_s, power_s, code_s, valid[order], cell_start, packed,
+            sub_start if sub_div > 1 else None)
 
 
 def _candidates(grid: PhotonGrid, point: jnp.ndarray):

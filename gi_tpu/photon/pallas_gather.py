@@ -239,7 +239,9 @@ def _gather_kernel(wlo_ref, wnch_ref,         # scalar prefetch [nb*27] i32
                       jnp.maximum(st_ref[:, 6:7], 1e-6))
 
     if filter_type == GAUSS:
-        acc_pass(maxd2)
+        @pl.when(n_total > 0)
+        def _():
+            acc_pass(maxd2)
 
     acc = st_ref[:, 0:3]
     if filter_type == CONE:
@@ -305,36 +307,41 @@ def estimate_radiance_pallas(grid, point, normal, exact_bounce, cos_theta,
                              kd, ks, shin, estimate_size, estimate_dist,
                              filter_type, cfg, interpret: bool = False):
     """Pallas-kernel radiance estimate; same contract as
-    gather.estimate_radiance.
+    gather.estimate_radiance.  Grids carrying a subcell table
+    (grid.sub_div > 1 — big maps) take the v2 table-radius path;
+    small grids take the v1 streamed threshold-refinement path.
 
-    Query batches beyond _QCHUNK are sliced and processed independently
-    (lax.map) BEFORE the cell sort: the per-slice argsort keeps XLA's
-    sort temporaries bounded (a single argsort over millions of walk-lane
-    queries materialized a 1 GB padded temp on v5e), and the SMEM window
-    tables scale with the per-call block count.  Each slice sorts its own
-    queries by cell, derives the 27 per-cell photon intervals and the 27
-    per-block superwindows, launches the kernel, and unsorts."""
+    Query batches beyond the chunk cap are sliced and processed
+    independently (lax.map) BEFORE the cell sort: the per-slice argsort
+    keeps XLA's sort temporaries bounded (a single argsort over millions
+    of walk-lane queries materialized a 1 GB padded temp on v5e), and the
+    SMEM window tables scale with the per-call block count.  Each slice
+    sorts its own queries by cell, derives the per-block superwindows,
+    launches the kernel, and unsorts."""
     B = point.shape[0]
+    v2 = grid.sub_div > 1 and grid.sub_start is not None
+    chunk_fn = _pallas_chunk_v2 if v2 else _pallas_chunk
+    qchunk = _QCHUNK_V2 if v2 else _QCHUNK
     args = (point, normal, exact_bounce, cos_theta, kd, ks, shin)
-    if B > _QCHUNK:
-        pad = (-B) % _QCHUNK
+    if B > qchunk:
+        pad = (-B) % qchunk
 
         def padz(x):
             return jnp.pad(x, [(0, pad)] + [(0, 0)] * (x.ndim - 1))
 
         stacked = tuple(
-            padz(a).reshape((B + pad) // _QCHUNK, _QCHUNK, *a.shape[1:])
+            padz(a).reshape((B + pad) // qchunk, qchunk, *a.shape[1:])
             for a in args)
         out = jax.lax.map(
-            lambda xs: _pallas_chunk(grid, *xs, estimate_size=estimate_size,
-                                     estimate_dist=estimate_dist,
-                                     filter_type=filter_type, cfg=cfg,
-                                     interpret=interpret), stacked)
+            lambda xs: chunk_fn(grid, *xs, estimate_size=estimate_size,
+                                estimate_dist=estimate_dist,
+                                filter_type=filter_type, cfg=cfg,
+                                interpret=interpret), stacked)
         return out.reshape(-1, 3)[:B]
-    return _pallas_chunk(grid, *args, estimate_size=estimate_size,
-                         estimate_dist=estimate_dist,
-                         filter_type=filter_type, cfg=cfg,
-                         interpret=interpret)
+    return chunk_fn(grid, *args, estimate_size=estimate_size,
+                    estimate_dist=estimate_dist,
+                    filter_type=filter_type, cfg=cfg,
+                    interpret=interpret)
 
 
 def _pallas_chunk(grid, point, normal, exact_bounce, cos_theta,
@@ -431,3 +438,536 @@ def _pallas_chunk(grid, point, normal, exact_bounce, cos_theta,
         f_a=float(cfg.filter_const_a), f_b=float(cfg.filter_const_b),
         f_k=float(cfg.filter_const_k), interpret=interpret)
     return out[:B, 0:3][inv_order]
+
+
+# --------------------------------------------------------------------------
+# v2: table-radius gather (dense maps)
+#
+# The v1 kernel finds the K-th-neighbor radius by STREAMING the photon
+# neighborhood up to 5 times (count + 3 histogram refinements + accumulate).
+# On a dense caustic map — 36k photons per floor cell at the reference's
+# cs=225/cd=0.225 — that re-streaming made radiance estimation compute-bound
+# at ~2k queries/s and pushed the 512^2 render tile past the device
+# watchdog (round-4).  v2 removes every pre-accumulation pass:
+#
+#   1. build_grid sorts photons by (cell, x-major subcell) and records
+#      every subcell run in `sub_start` (sub_div^3 subcells per cell).
+#   2. The wrapper derives each query's search radius tau from the subcell
+#      COUNTS alone: a 7^3-subcell neighborhood histogram of conservative
+#      (farthest-corner) distances gives the smallest radius guaranteed to
+#      contain >= K photons, at cap^2/32 resolution.  No photon is touched.
+#      Queries whose 7^3 neighborhood holds fewer than K fall back to
+#      tau = cap (sparse regions — cheap to stream anyway).
+#   3. Per (query, neighbor-cell): the tau-ball's subcell bounding box maps
+#      to ONE contiguous photon interval (x-major subcell ids; the range
+#      between touched subcells can only contain photons of interleaved
+#      planes, which d^2 <= tau^2 masks out).  Queries are sorted by
+#      SUBCELL so consecutive QB queries share tight superwindows.
+#   4. The kernel makes a single accumulation pass (two for the gauss
+#      filter) over the windows with include = d^2 <= tau_q^2.
+#
+# The result is a fixed-radius-tau density estimate whose radius tracks the
+# K-th-neighbor distance from above by at most one subcell diagonal plus
+# the histogram bin width — unbiased for flux density (the radius depends
+# only on the table, not the streamed sample), and slightly smoother than
+# exact K-NN in the densest regions.  maxd2 keeps the reference's
+# fewer-than-K => cap^2 semantics (photon_utils.cpp:85-96).
+# --------------------------------------------------------------------------
+
+_QCHUNK_V2 = 32768   # v2 wrapper slices: the tau-derivation temporaries are
+                     # [Q, 343] (7^3 neighbor subcells per query), and the
+                     # per-cell block capacity must fit the SMEM window
+                     # tables (one PACKED int32 per block-slot)
+_RING = 3            # subcell neighborhood half-width for tau derivation
+_NB2 = 32            # tau histogram bins, UNIFORM IN tau (min tau cap/32 —
+                     # tau^2-uniform bins floored tau at cap/sqrt(32) and
+                     # made focus-cell queries stream 50k photons each)
+_RUNS_V2 = 32        # interval slots per query: plane-mode uses
+                     # 8 x-planes x 4 (y,z) cell columns; cell-mode the
+                     # first 27 for whole coarse cells
+_QB2 = 32            # v2 queries per block: scattered walk-bounce queries
+                     # need TIGHT blocks or the per-slot superwindow union
+                     # swallows whole cells; 32 = one f32 sublane-tile x 4
+
+
+def _gather_kernel_v2(wpk_ref,                # scalar prefetch [nb*32] i32:
+                                               # (wlo/WCH) << 14 | n_chunks
+                                               # (packed: SMEM is the block-
+                                               # capacity ceiling, and over-
+                                               # flowing it mixes scattered
+                                               # queries into giant windows)
+                      q_ref,                   # [QB, 24] f32 query pack
+                      se_ref,                  # [QB, 64] i32 starts/ends
+                      sc_ref,                  # [QB, 32] f32 flux scales
+                      ph_ref,                  # [16, Npad] f32 HBM photons
+                      est_ref,                 # out [QB, 4] f32
+                      buf, sem, st_ref,
+                      *, K, cap2, filter_type, f_a, f_b, f_k):
+    """One query block, single accumulation pass (q_ref col 17 = tau^2,
+    derived from the subcell table by the wrapper)."""
+    i = pl.program_id(0)
+
+    qx = q_ref[:, 0:1]
+    qy = q_ref[:, 1:2]
+    qz = q_ref[:, 2:3]
+    nx_ = q_ref[:, 3:4]
+    ny_ = q_ref[:, 4:5]
+    nz_ = q_ref[:, 5:6]
+    bx = q_ref[:, 6:7]
+    by = q_ref[:, 7:8]
+    bz = q_ref[:, 8:9]
+    qcos = q_ref[:, 9:10]
+    shin = q_ref[:, 10:11]
+    kdr = q_ref[:, 11:12]
+    kdg = q_ref[:, 12:13]
+    kdb = q_ref[:, 13:14]
+    ksr = q_ref[:, 14:15]
+    ksg = q_ref[:, 15:16]
+    ksb = q_ref[:, 16:17]
+    tau2 = q_ref[:, 17:18]
+    sparse = q_ref[:, 18:19] > 0.5
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, WCH), 1)
+
+    def stream(chunk_fn):
+        for run in range(_RUNS_V2):
+            v = wpk_ref[i * _RUNS_V2 + run]
+            w_lo = (v >> 14) * WCH
+            n_ch = v & 0x3FFF
+            s = se_ref[:, run:run + 1]
+            e = se_ref[:, _RUNS_V2 + run:_RUNS_V2 + run + 1]
+            sc = sc_ref[:, run:run + 1]
+
+            def chunk_body(j, _):
+                start = pl.multiple_of(w_lo + j * WCH, WCH)
+                dma = pltpu.make_async_copy(
+                    ph_ref.at[:, pl.ds(start, WCH)], buf, sem)
+                dma.start()
+                dma.wait()
+                g = start + lane
+                px = buf[0:1, :]
+                py = buf[1:2, :]
+                pz = buf[2:3, :]
+                d2 = ((qx - px) ** 2 + (qy - py) ** 2 + (qz - pz) ** 2)
+                m = (g >= s) & (g < e)
+                scale = jnp.where(m, sc, 0.0)
+                include = m & (d2 <= tau2)
+                chunk_fn(d2, include, scale, buf)
+                return 0
+
+            jax.lax.fori_loop(0, n_ch, chunk_body, 0)
+
+    # st cols: 0-2 sum(contrib), 3-5 sum(contrib*d) [cone], 6 max d2,
+    # 7 included count, 8-10 sum(contrib*w) [gauss], 11 sum(w) [gauss]
+    st_ref[:] = jnp.zeros((_QB2, 16), jnp.float32)
+
+    # skip the whole streaming machinery for empty blocks (most of the
+    # padded block capacity): st_ref stays zero -> est written as zero
+    n_total = 0
+    for run in range(_RUNS_V2):
+        n_total = n_total + (wpk_ref[i * _RUNS_V2 + run] & 0x3FFF)
+
+    def acc_pass(r2_for_gauss):
+        def fn(d2, include, scale, buf):
+            fr = buf[3:4, :]
+            fg = buf[4:5, :]
+            fb_ = buf[5:6, :]
+            ix = buf[6:7, :]
+            iy = buf[7:8, :]
+            iz = buf[8:9, :]
+            perp = nx_ * ix + ny_ * iy + nz_ * iz
+            cull = (((qcos < 0) & (perp < 0)) | ((qcos > 0) & (perp > 0)))
+            use = include & ~cull
+            cos_a = jnp.maximum(-(bx * ix + by * iy + bz * iz), 0.0)
+            pow_a = jnp.exp(shin * jnp.log(jnp.maximum(cos_a, 1e-30)))
+            base = jnp.abs(perp)
+            usf = use.astype(jnp.float32)
+            if r2_for_gauss is None:
+                d = jnp.sqrt(jnp.maximum(d2, 1e-12))
+                for ch, (f, kd_c, ks_c) in enumerate(
+                        [(fr, kdr, ksr), (fg, kdg, ksg), (fb_, kdb, ksb)]):
+                    c = f * scale * (base * kd_c + pow_a * ks_c) * usf
+                    st_ref[:, ch:ch + 1] += jnp.sum(c, axis=1,
+                                                    keepdims=True)
+                    if filter_type == CONE:
+                        st_ref[:, 3 + ch:4 + ch] += jnp.sum(
+                            c * d, axis=1, keepdims=True)
+                st_ref[:, 6:7] = jnp.maximum(
+                    st_ref[:, 6:7],
+                    jnp.max(jnp.where(include, d2, 0.0), axis=1,
+                            keepdims=True))
+                st_ref[:, 7:8] += jnp.sum(include.astype(jnp.float32),
+                                          axis=1, keepdims=True)
+            else:
+                c1 = np.exp(-f_b)
+                w = 1.0 - (1.0 - jnp.exp(-f_b * d2 /
+                                         (2.0 * r2_for_gauss))) / (1.0 - c1)
+                for ch, (f, kd_c, ks_c) in enumerate(
+                        [(fr, kdr, ksr), (fg, kdg, ksg), (fb_, kdb, ksb)]):
+                    c = f * scale * (base * kd_c + pow_a * ks_c) * usf
+                    st_ref[:, 8 + ch:9 + ch] += jnp.sum(
+                        c * w, axis=1, keepdims=True)
+                st_ref[:, 11:12] += jnp.sum(w * usf, axis=1, keepdims=True)
+
+        stream(fn)
+
+    @pl.when(n_total > 0)
+    def _():
+        acc_pass(None)
+
+    cnt = st_ref[:, 7:8]
+    kf = jnp.float32(K)
+    # reference fixed-cap semantics apply only to SPARSE-tau queries
+    # (table count < K within cap -> tau = cap): for dense queries the
+    # included count can fall under K from interval thinning without the
+    # estimate degenerating to the cap radius
+    maxd2 = jnp.where(sparse & (cnt < kf), jnp.float32(cap2),
+                      jnp.maximum(st_ref[:, 6:7], 1e-6))
+
+    if filter_type == GAUSS:
+        @pl.when(n_total > 0)
+        def _():
+            acc_pass(maxd2)
+
+    acc = st_ref[:, 0:3]
+    if filter_type == CONE:
+        r = jnp.sqrt(maxd2)
+        accd = st_ref[:, 3:6]
+        est = (acc - accd / (f_k * r)) / (
+            (1.0 - 2.0 / (3.0 * f_k)) * jnp.pi * maxd2)
+    elif filter_type == GAUSS:
+        total_w = st_ref[:, 11:12]
+        norm = jnp.where(total_w > 0, f_a * cnt /
+                         jnp.maximum(total_w, 1e-30), 0.0)
+        est = st_ref[:, 8:11] * (norm / (jnp.pi * maxd2))
+    else:
+        est = acc / (jnp.pi * maxd2)
+
+    est = jnp.where(cnt > 0, est, 0.0)
+    est_ref[:, 0:3] = est
+    est_ref[:, 3:4] = cnt
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("K", "cap2", "filter_type", "f_a", "f_b", "f_k",
+                     "interpret"))
+def _gather_call_v2(wpk, qpack, se, sc, photons, *, K, cap2,
+                    filter_type, f_a, f_b, f_k, interpret=False):
+    nb = wpk.shape[0] // _RUNS_V2
+    B = qpack.shape[0]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((_QB2, 24), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_QB2, 64), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_QB2, 32), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((_QB2, 4), lambda i, *_: (i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((16, WCH), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((_QB2, 16), jnp.float32),
+        ],
+    )
+    kernel = functools.partial(
+        _gather_kernel_v2, K=K, cap2=cap2, filter_type=filter_type,
+        f_a=f_a, f_b=f_b, f_k=f_k)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, 4), jnp.float32),
+        interpret=interpret,
+    )(wpk, qpack, se, sc, photons)
+
+
+def _pallas_chunk_v2(grid, point, normal, exact_bounce, cos_theta,
+                     kd, ks, shin, *, estimate_size, estimate_dist,
+                     filter_type, cfg, interpret):
+    nx, ny, nz = grid.dims
+    Sd = grid.sub_div
+    S3 = Sd ** 3
+    N = grid.pos.shape[0]
+    B = point.shape[0]
+    K = int(estimate_size)
+    cap2 = float(estimate_dist) * float(estimate_dist)
+    inv_hf = grid.inv_h * Sd
+    h_f = 1.0 / inv_hf
+    fine_hi = jnp.asarray([nx * Sd - 1, ny * Sd - 1, nz * Sd - 1])
+
+    fine = jnp.clip(
+        jnp.floor((point - grid.origin) * inv_hf).astype(jnp.int32),
+        0, fine_hi)
+    cc = fine // Sd
+    sub = fine - cc * Sd
+    cid = (cc[:, 0] * ny + cc[:, 1]) * nz + cc[:, 2]
+    subid = (sub[:, 0] * Sd + sub[:, 1]) * Sd + sub[:, 2]
+    order = jnp.argsort(cid * S3 + subid)   # SUBCELL-tight query blocks
+    inv_order = jnp.argsort(order)
+
+    def srt(x):
+        if x.ndim == 2:
+            return jnp.stack([x[:, c][order] for c in range(x.shape[1])],
+                             axis=-1)
+        return x[order]
+
+    point_s, normal_s, bounce_s = srt(point), srt(normal), srt(exact_bounce)
+    cos_s, kd_s, ks_s, shin_s = (srt(cos_theta), srt(kd), srt(ks), srt(shin))
+    fine_s, cc_s = fine[order], cc[order]
+
+    # ---- tau from subcell counts (no photon streaming) -------------------
+    W = 2 * _RING + 1
+    offs = np.stack(np.meshgrid(*([np.arange(-_RING, _RING + 1)] * 3),
+                                indexing="ij"), axis=-1).reshape(-1, 3)
+    offs = jnp.asarray(offs, jnp.int32)                   # [W^3, 3]
+    nf = fine_s[:, None, :] + offs[None]                  # [B, W^3, 3]
+    okn = jnp.all((nf >= 0) & (nf <= fine_hi), axis=-1)
+    nfc = jnp.clip(nf, 0, fine_hi)
+    cn = nfc // Sd
+    sn = nfc - cn * Sd
+    flat = (((cn[..., 0] * ny + cn[..., 1]) * nz + cn[..., 2]) * S3
+            + (sn[..., 0] * Sd + sn[..., 1]) * Sd + sn[..., 2])
+    cnts = jnp.where(
+        okn, grid.sub_start[flat + 1] - grid.sub_start[flat], 0
+    ).astype(jnp.float32)                                 # [B, W^3]
+    center = (nfc.astype(jnp.float32) + 0.5) * h_f + grid.origin
+    am = jnp.abs(point_s[:, None, :] - center) + 0.5 * h_f
+    dmax2 = jnp.sum(am * am, axis=-1)                     # [B, W^3]
+    # bins uniform in tau (NOT tau^2): the smallest resolvable radius is
+    # cap/NB2, which matters exactly where density is highest
+    cap = float(estimate_dist)
+    binq = jnp.floor(jnp.sqrt(dmax2) * (_NB2 / cap))
+    cum = jnp.stack(
+        [jnp.sum(jnp.where(binq <= b, cnts, 0.0), axis=-1)
+         for b in range(_NB2)], axis=-1)                  # [B, NB2]
+    kb = jnp.sum((cum < K).astype(jnp.int32), axis=-1)    # [B]
+    tau = jnp.where(kb >= _NB2, cap, (kb + 1.0) * (cap / _NB2))
+    tau2 = tau * tau
+    sparse_q = kb >= _NB2
+
+    # ---- per-query photon interval slots (32 per query) -----------------
+    # plane-mode (tight tau): one interval per (fine x-plane, coarse (y,z)
+    # cell column) — 8 planes x 4 columns.  An x-major id range within one
+    # plane overshoots the tau-ball only by the z tail of each y row
+    # (~2.6x), vs ~15x for a whole multi-plane range: focus-cell queries
+    # went from streaming ~1/3 of a 500k-photon cell to a few thousand.
+    # cell-mode (wide tau — needs more than 8 planes or 2 cells per y/z
+    # axis): one interval per coarse neighbor cell (27 slots), clamped to
+    # gather_cell_max with flux rescale (the kept prefix covers whole
+    # leading subcells; the rescale approximates partial-area coverage —
+    # these queries sit in low-density regions next to dense ones, where
+    # an unclamped cap-ball streamed millions of photons).
+    fl = jnp.floor((point_s - tau[:, None] - grid.origin)
+                   * inv_hf).astype(jnp.int32)
+    fh = jnp.floor((point_s + tau[:, None] - grid.origin)
+                   * inv_hf).astype(jnp.int32)
+    cm = int(getattr(cfg, "gather_cell_max", 0) or 0)
+    BIG = jnp.int32(1 << 30)
+    dims_v = jnp.asarray([nx, ny, nz])
+    plane_mode = ((fh[:, 0] - fl[:, 0] < 10)
+                  & (fh[:, 0] <= fine_s[:, 0] + 5)
+                  & (fl[:, 0] >= fine_s[:, 0] - 4)
+                  & (fh[:, 1] // Sd - fl[:, 1] // Sd <= 1)
+                  & (fh[:, 2] // Sd - fl[:, 2] // Sd <= 1))
+
+    # cell-mode slots (27 cells, clamped)
+    c_starts, c_ends, c_scales = [], [], []
+    for dx in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            for dz in (-1, 0, 1):
+                c = cc_s + jnp.asarray([dx, dy, dz])
+                ok = jnp.all((c >= 0) & (c < dims_v), axis=-1)
+                ccl = jnp.clip(c, 0, dims_v - 1)
+                base = ccl * Sd
+                a = jnp.clip(fl - base, 0, Sd - 1)
+                b = jnp.clip(fh - base, 0, Sd - 1)
+                nonempty = jnp.all((fh >= base) & (fl <= base + Sd - 1),
+                                   axis=-1)
+                ok = ok & nonempty
+                lo_id = (a[:, 0] * Sd + a[:, 1]) * Sd + a[:, 2]
+                hi_id = (b[:, 0] * Sd + b[:, 1]) * Sd + b[:, 2]
+                cflat = ((ccl[:, 0] * ny + ccl[:, 1]) * nz + ccl[:, 2])
+                s = grid.sub_start[cflat * S3 + lo_id]
+                e = grid.sub_start[cflat * S3 + hi_id + 1]
+                scl = jnp.ones_like(s, jnp.float32)
+                if cm > 0:
+                    cnt = e - s
+                    too_big = cnt > cm
+                    e = jnp.where(too_big, s + cm, e)
+                    scl = jnp.where(too_big,
+                                    cnt.astype(jnp.float32) / cm, 1.0)
+                c_starts.append(jnp.where(ok, s, BIG))
+                c_ends.append(jnp.where(ok, e, 0))
+                c_scales.append(scl)
+    c_starts += [jnp.full_like(c_starts[0], BIG)] * 5
+    c_ends += [jnp.zeros_like(c_ends[0])] * 5
+    c_scales += [jnp.ones_like(c_scales[0])] * 5
+
+    # plane-mode slots: 6 even-aligned x-plane PAIRS x 2 y-parities x 2
+    # z-parities = 24 slots, anchored to the block's shared fine-x plane.
+    # Every query in a block shares fine_x (the block key), so pair index
+    # pr is consistent across the block; even alignment keeps a pair
+    # inside ONE x-cell; the y/z halves in the key make each parity map
+    # to a single cell per block.  (The previous absolute mod-8 plane
+    # slots wrapped across x-cells when tau spread fl_x beyond 8 planes —
+    # one slot unioned planes of cells ~4.5M photons apart.)
+    cyA = jnp.clip(fl[:, 1] // Sd, 0, ny - 1)
+    cyB = jnp.clip(fh[:, 1] // Sd, 0, ny - 1)
+    czA = jnp.clip(fl[:, 2] // Sd, 0, nz - 1)
+    czB = jnp.clip(fh[:, 2] // Sd, 0, nz - 1)
+    p_starts, p_ends, p_scales = [], [], []
+    ones_scl = jnp.ones((B,), jnp.float32)
+    pcm = min(cm, max(2048, 8 * K)) if cm > 0 else 0
+    pair0 = (fine_s[:, 0] - 4) >> 1      # first even pair of the anchor box
+    for pr in range(6):
+        pb = (pair0 + pr) * 2            # pair planes [pb, pb+1], one x-cell
+        pl_lo = jnp.maximum(pb, fl[:, 0])
+        pl_hi = jnp.minimum(pb + 1, fh[:, 0])
+        ok_p = (pl_lo <= pl_hi) & (pl_hi >= 0) & (pl_lo < nx * Sd)
+        pl_lo = jnp.clip(pl_lo, 0, nx * Sd - 1)
+        pl_hi = jnp.clip(pl_hi, 0, nx * Sd - 1)
+        c_x = jnp.clip(pb, 0, nx * Sd - 1) // Sd
+        lo_pl = pl_lo - c_x * Sd
+        hi_pl = pl_hi - c_x * Sd
+        for j in range(4):
+            jy, jz = j >> 1, j & 1
+            # unique in-box neighbor cell with matching parity per axis
+            useA_y = (cyA & 1) == jy
+            cy = jnp.where(useA_y, cyA, cyB)
+            ok_y = useA_y | (((cyB & 1) == jy) & (cyB != cyA))
+            useA_z = (czA & 1) == jz
+            cz = jnp.where(useA_z, czA, czB)
+            ok_z = useA_z | (((czB & 1) == jz) & (czB != czA))
+            ok = ok_p & ok_y & ok_z
+            ay = jnp.clip(fl[:, 1] - cy * Sd, 0, Sd - 1)
+            by = jnp.clip(fh[:, 1] - cy * Sd, 0, Sd - 1)
+            az = jnp.clip(fl[:, 2] - cz * Sd, 0, Sd - 1)
+            bz = jnp.clip(fh[:, 2] - cz * Sd, 0, Sd - 1)
+            lo_id = (lo_pl * Sd + ay) * Sd + az
+            hi_id = (hi_pl * Sd + by) * Sd + bz
+            cflat = (c_x * ny + cy) * nz + cz
+            s = grid.sub_start[cflat * S3 + lo_id]
+            e = grid.sub_start[cflat * S3 + hi_id + 1]
+            scl = ones_scl
+            if pcm > 0:
+                # density bound: caustic-FOCUS subcells hold 19k-1M photons
+                # each (per-query intervals hit 6.8M photons unclamped);
+                # the kept prefix is a decorrelated thinned sample and tau
+                # comes from the table (independent of thinning), so
+                # flux*scale/(pi*maxd2) stays unbiased
+                cnt = e - s
+                too = cnt > pcm
+                e = jnp.where(too, s + pcm, e)
+                scl = jnp.where(too, cnt.astype(jnp.float32) / pcm, 1.0)
+            p_starts.append(jnp.where(ok, s, BIG))
+            p_ends.append(jnp.where(ok, e, 0))
+            p_scales.append(scl)
+
+    pad_n = _RUNS_V2 - len(p_starts)
+    p_starts += [jnp.full((B,), BIG, jnp.int32)] * pad_n
+    p_ends += [jnp.zeros((B,), jnp.int32)] * pad_n
+    p_scales += [ones_scl] * pad_n
+    pm = plane_mode
+    starts = jnp.stack(
+        [jnp.where(pm, ps, cs) for ps, cs in zip(p_starts, c_starts)],
+        axis=1)                                            # [B, 32]
+    ends = jnp.stack(
+        [jnp.where(pm, pe, ce) for pe, ce in zip(p_ends, c_ends)], axis=1)
+    scales = jnp.stack(
+        [jnp.where(pm, psc, csc) for psc, csc in zip(p_scales, c_scales)],
+        axis=1)
+
+    # ---- pack query blocks per COARSE CELL ------------------------------
+    # A block whose queries straddle cells gets superwindows spanning every
+    # photon BETWEEN their cells (the intervals are per-cell contiguous,
+    # the union is not) — on the 10M floor map that re-created ~200-chunk
+    # gap windows and capped v2 at ~3.5k q/s.  Opening a fresh block at
+    # every cell boundary bounds each superwindow to one cell's tau-balls.
+    # Blocks beyond the static cap spill into shared overflow blocks —
+    # still CORRECT (each block's windows are the union of its queries'
+    # intervals) just slower, and only reachable for pathologically
+    # scattered queries.
+    # block key = (cell, x-slab of subcells): queries sharing a block then
+    # span at most one S x S x-plane, so the union of their tau-box id
+    # ranges stays ~3 slabs instead of the whole cell (queries spread
+    # across a 36k-photon floor cell otherwise widened every superwindow
+    # to the full cell and held v2 at ~3k q/s)
+    cid_s = (cc_s[:, 0] * ny + cc_s[:, 1]) * nz + cc_s[:, 2]
+    sub_x = (fine_s[:, 0] - cc_s[:, 0] * Sd)
+    sub_yh = (fine_s[:, 1] - cc_s[:, 1] * Sd) >= (Sd // 2)
+    sub_zh = (fine_s[:, 2] - cc_s[:, 2] * Sd) >= (Sd // 2)
+    # x-slab + y-half + z-half in the key: queries of one block share a
+    # fine x-plane and reach at most TWO adjacent cells in y and in z, so
+    # the per-axis parity slots below are unambiguous — without this,
+    # low- and high-edge queries of one cell put cells c-1 and c+1 (same
+    # parity, ~1.3M photons apart in id space) into one slot and the
+    # superwindow swallowed everything between
+    bkey = ((cid_s * Sd + sub_x) * 2
+            + sub_yh.astype(jnp.int32)) * 2 + sub_zh.astype(jnp.int32)
+    qpos_i = jnp.arange(B, dtype=jnp.int32)
+    first = jnp.concatenate([jnp.ones((1,), bool), bkey[1:] != bkey[:-1]])
+    run_start = jax.lax.cummax(jnp.where(first, qpos_i, 0))
+    rank = qpos_i - run_start
+    new_blk = first | (rank % _QB2 == 0)
+    blk = jnp.cumsum(new_blk.astype(jnp.int32)) - 1
+    lane = rank % _QB2
+    CAPB = B // _QB2 + min(B // 8 + 1, 2048)
+    slot_main = blk * _QB2 + lane
+    over = slot_main >= CAPB * _QB2
+    over_rank = jnp.cumsum(over.astype(jnp.int32)) - 1
+    slot = jnp.where(over, CAPB * _QB2 + over_rank, slot_main)
+    P = CAPB * _QB2 + (-(-B // _QB2)) * _QB2        # main + overflow capacity
+
+    # slot -> query mapping (one int scatter); every padded array is then
+    # a cheap 1-D gather, with unfilled slots masked to inert values
+    qidx = jnp.zeros((P,), jnp.int32).at[slot].set(qpos_i, mode="drop")
+    filled = jnp.zeros((P,), bool).at[slot].set(True, mode="drop")
+
+    def put(col, fill):
+        v = col[qidx]
+        return jnp.where(filled, v, jnp.asarray(fill, v.dtype))
+
+    qcols = [put(point_s[:, 0], 1e9), put(point_s[:, 1], 1e9),
+             put(point_s[:, 2], 1e9)]
+    for src in (normal_s, bounce_s):
+        qcols += [put(src[:, c], 0.0) for c in range(3)]
+    qcols += [put(cos_s, 0.0), put(shin_s, 1.0)]
+    for src in (kd_s, ks_s):
+        qcols += [put(src[:, c], 0.0) for c in range(3)]
+    qcols += [put(tau2, 0.0),
+              put(sparse_q.astype(jnp.float32), 0.0)]
+    qpack = jnp.stack(qcols + [jnp.zeros((P,))] * 5, axis=1).astype(
+        jnp.float32)
+
+    se = jnp.stack(
+        [put(starts[:, r], BIG) for r in range(_RUNS_V2)]
+        + [put(ends[:, r], 0) for r in range(_RUNS_V2)],
+        axis=1).astype(jnp.int32)
+    sc = jnp.stack(
+        [put(scales[:, r], 0.0) for r in range(_RUNS_V2)],
+        axis=1).astype(jnp.float32)
+
+    nb = P // _QB2
+    R2 = _RUNS_V2
+    s_blk = jnp.where(se[:, :R2] >= BIG, BIG, se[:, :R2]).reshape(nb, _QB2, R2)
+    e_blk = se[:, R2:2 * R2].reshape(nb, _QB2, R2)
+    run_lo = jnp.min(s_blk, axis=1)
+    run_hi = jnp.max(e_blk, axis=1)
+    run_lo = (jnp.minimum(run_lo, N) // WCH) * WCH
+    wlen = jnp.maximum(run_hi - run_lo, 0)
+    wnch = jnp.minimum((wlen + WCH - 1) // WCH, 0x3FFF).astype(jnp.int32)
+    wpk = ((run_lo.astype(jnp.int32) // WCH) << 14) | wnch
+
+    out = _gather_call_v2(
+        wpk.reshape(-1), qpack, se, sc, grid.packed,
+        K=K, cap2=cap2, filter_type=int(filter_type),
+        f_a=float(cfg.filter_const_a), f_b=float(cfg.filter_const_b),
+        f_k=float(cfg.filter_const_k), interpret=interpret)
+    est = jnp.stack([out[:, c][slot] for c in range(3)], axis=1)
+    return est[inv_order]

@@ -152,6 +152,68 @@ def test_dense_cell_truncation_consistent():
         assert rel < 0.25, (cm, rel)
 
 
+def test_v2_sparse_matches_v1_exactly():
+    """v2 (subcell-table radius): when a query's 7^3-subcell neighborhood
+    holds fewer than K photons, tau falls back to cap and v2 includes the
+    identical photon set as v1 — estimates match to float tolerance."""
+    rng = np.random.default_rng(21)
+    n = 3000
+    pos = rng.uniform(0, 1, (n, 3)).astype(np.float32)
+    power = rng.uniform(0, 1e-3, (n, 3)).astype(np.float32)
+    code = rng.integers(0, 65536, n).astype(np.int32)
+    mk = lambda sd: build_grid(jnp.asarray(pos), jnp.asarray(power),
+                               jnp.asarray(code), jnp.ones(n, bool),
+                               np.zeros(3), np.ones(3), 0.04,
+                               cell_cap=96, sub_div=sd)
+    g1, g2 = mk(1), mk(4)
+    assert g2.sub_div == 4 and g2.sub_start is not None
+    args = _queries(rng, 130)
+    ref = np.asarray(estimate_radiance_pallas(g1, *args, 500, 0.04, 0, CFG,
+                                              interpret=True))
+    got = np.asarray(estimate_radiance_pallas(g2, *args, 500, 0.04, 0, CFG,
+                                              interpret=True))
+    assert ref.max() > 0
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("ft", [0, 1, 2], ids=["disk", "cone", "gauss"])
+def test_v2_dense_surface_consistent(ft):
+    """v2 on a dense uniform surface patch: the table-derived radius gives
+    a fixed-radius density estimate that must agree with v1's exact K-NN
+    estimate within the radius-inflation tolerance (tau tracks the K-th
+    neighbor distance from above by <= one subcell diagonal + bin width)."""
+    rng = np.random.default_rng(22)
+    n = 16384
+    pos = np.zeros((n, 3), np.float32)
+    pos[:, 0:2] = rng.uniform(0.3, 0.7, (n, 2))
+    pos[:, 2] = 0.55
+    power = np.full((n, 3), 1e-4, np.float32)
+    code = rng.integers(0, 65536, n).astype(np.int32)
+    mk = lambda sd: build_grid(jnp.asarray(pos), jnp.asarray(power),
+                               jnp.asarray(code), jnp.ones(n, bool),
+                               np.zeros(3), np.ones(3), 0.1,
+                               cell_cap=128, sub_div=sd)
+    g1, g2 = mk(1), mk(4)
+    b = 128
+    q = np.zeros((b, 3), np.float32)
+    q[:, 0:2] = rng.uniform(0.45, 0.55, (b, 2))
+    q[:, 2] = 0.55
+    nrm = np.tile(np.asarray([[0.0, 0.0, 1.0]], np.float32), (b, 1))
+    args = (jnp.asarray(q), jnp.asarray(nrm), jnp.asarray(nrm),
+            jnp.ones(b), jnp.ones((b, 3)), jnp.zeros((b, 3)), jnp.ones(b))
+    K, dist = 64, 0.1
+    ref = np.asarray(estimate_radiance_pallas(
+        g1, *args, K, dist, ft, CFG.replace(gather_cell_max=0),
+        interpret=True))
+    got = np.asarray(estimate_radiance_pallas(
+        g2, *args, K, dist, ft, CFG, interpret=True))
+    assert ref.mean() > 0
+    rel_mean = abs(got.mean() - ref.mean()) / ref.mean()
+    assert rel_mean < 0.15, rel_mean
+    rel = np.abs(got - ref) / np.maximum(np.abs(ref), 1e-9)
+    assert np.median(rel) < 0.3, np.median(rel)
+
+
 def test_query_chunking_matches_single_call(monkeypatch):
     """Batches beyond _QCHUNK are sliced around the kernel (SMEM window
     tables scale with query count); the sliced path must equal the
