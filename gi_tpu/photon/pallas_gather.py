@@ -239,7 +239,9 @@ def _gather_kernel(wlo_ref, wnch_ref,         # scalar prefetch [nb*27] i32
                       jnp.maximum(st_ref[:, 6:7], 1e-6))
 
     if filter_type == GAUSS:
-        @pl.when(n_total > 0)
+        # Second weighted pass only when the block saw any in-range
+        # candidate (the zeroed st columns already give est=0 otherwise).
+        @pl.when(jnp.any(total > 0.0))
         def _():
             acc_pass(maxd2)
 
