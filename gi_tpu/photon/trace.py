@@ -232,10 +232,11 @@ _STAGE1_DEPTH = 6    # wide-walk bounces before survivor compaction
 
 
 @partial(jax.jit, static_argnames=("cfg", "counts", "map_type", "cap",
-                                   "narrow_div", "per_lane"))
+                                   "narrow_div", "per_lane", "ocap_div"))
 def emit_round(scene: Scene, cfg: RenderConfig, key, counts: tuple,
                map_type: int, cap: int, cone_axis=None, cone_cos=None,
-               weight=None, narrow_div: int = 8, per_lane: bool = False):
+               weight=None, narrow_div: int = 8, per_lane: bool = False,
+               ocap_div: int = 16):
     """Trace one emission round.
 
     counts[i] photons from light i (static).  `cone_axis [L,3]`,
@@ -248,16 +249,22 @@ def emit_round(scene: Scene, cfg: RenderConfig, key, counts: tuple,
     n_lost_lanes counts survivors dropped at the stage-2 compaction — the
     host discards the round and retries on either (exactness protocol).
 
-    `per_lane=True` (MAP_CAUSTIC only — a caustic walk stores at most
-    ONCE, photontracer.cpp:116-139) switches the store mechanism from
+    `per_lane=True` (MAP_CAUSTIC only) switches the store mechanism from
     per-bounce prefix-sum scatters to per-lane masked writes: each lane
     owns slot `orig` (its emission index) in full-width store arrays, so
     the full-width stage-1 bounces store with vectorized selects instead
     of 4M-lane scatters (profiled r4: the scatters dominated the walk at
-    ~6.5 s/4M-round), and stores can never overflow.  Returns
-    (components 7-tuple of [R] arrays (pos xyz, power rgb, dir code),
-    flag [R] bool, count, lost); the caller scatters flagged lanes into
-    its accumulator by prefix-sum (trace_photon_map's on-device append).
+    ~6.5 s/4M-round).  A caustic walk USUALLY stores once (it dies at its
+    first diffuse store, photontracer.cpp:116-139) — but the reference
+    re-arms after a spec/transmissive bounce off a MIXED kd+ks/kt
+    material (photontracer.cpp:77-80), so a lane may store again; 2nd+
+    stores go to a small prefix-sum overflow buffer of width
+    max(1024, R // ocap_div) instead of overwriting the lane slot.
+    Returns (components 7-tuple of [R] arrays (pos xyz, power rgb, dir
+    code), flag [R] bool, count, overflow 7-tuple of [OCAP] arrays,
+    ocount, lost): count = total physical stores = sum(flag) + ocount;
+    ocount can exceed the overflow width — the caller discards and
+    retries with a smaller ocap_div (exactness protocol).
     """
     if per_lane:
         assert map_type == MAP_CAUSTIC, \
@@ -294,6 +301,7 @@ def emit_round(scene: Scene, cfg: RenderConfig, key, counts: tuple,
     buf_w = R if per_lane else cap
     bufs = tuple(jnp.zeros((buf_w,)) for _ in range(6)) + (
         jnp.zeros((buf_w,), jnp.int32),)
+    OCAP = max(1024, R // ocap_div)
 
     state = dict(
         key=key, o=o, d=d, power=power,
@@ -306,6 +314,10 @@ def emit_round(scene: Scene, cfg: RenderConfig, key, counts: tuple,
     if per_lane:
         state["flag"] = jnp.zeros((R,), bool)
         state["orig"] = jnp.arange(R, dtype=jnp.int32)
+        state["has"] = jnp.zeros((R,), bool)
+        state["obufs"] = tuple(jnp.zeros((OCAP,)) for _ in range(6)) + (
+            jnp.zeros((OCAP,), jnp.int32),)
+        state["ocount"] = jnp.asarray(0, jnp.int32)
 
     def cond(s):
         return (s["depth"] < cfg.max_photon_depth) & jnp.any(s["alive"])
@@ -338,20 +350,32 @@ def emit_round(scene: Scene, cfg: RenderConfig, key, counts: tuple,
                 S.encode_direction(view).astype(jnp.int32))
         extra = {}
         if per_lane:
-            # single-store walk: lane's record lives at its own emission
-            # slot.  Full-width stages write with vectorized selects (no
-            # scatter); compacted stages scatter by the (unique) original
-            # lane index — at 1/8th width or less, that scatter is cheap.
+            # A lane's FIRST store lives at its own emission slot.  Full-
+            # width stages write with vectorized selects (no scatter);
+            # compacted stages scatter by the (unique) original lane index
+            # — at 1/8th width or less, that scatter is cheap.  2nd+
+            # stores (mixed kd+ks/kt materials re-arm after a spec/trans
+            # bounce) go to the prefix-sum overflow buffer so the earlier
+            # photon is never overwritten.
+            want_first = want & ~s["has"]
+            want_over = want & s["has"]
             if B == R:
-                bufs = tuple(jnp.where(want, c, b)
+                bufs = tuple(jnp.where(want_first, c, b)
                              for b, c in zip(s["bufs"], cols))
-                flag = s["flag"] | want
+                flag = s["flag"] | want_first
             else:
-                oidx = jnp.where(want, s["orig"], R)  # R -> dropped
+                oidx = jnp.where(want_first, s["orig"], R)  # R -> dropped
                 bufs = tuple(b.at[oidx].set(c, mode="drop")
                              for b, c in zip(s["bufs"], cols))
                 flag = s["flag"].at[oidx].set(True, mode="drop")
-            extra = dict(flag=flag, orig=s["orig"])
+            ooff = jnp.cumsum(want_over.astype(jnp.int32)) - 1
+            oslot = jnp.where(want_over, s["ocount"] + ooff, OCAP)
+            obufs = tuple(b.at[oslot].set(c, mode="drop")
+                          for b, c in zip(s["obufs"], cols))
+            extra = dict(
+                flag=flag, orig=s["orig"], has=s["has"] | want,
+                obufs=obufs,
+                ocount=s["ocount"] + jnp.sum(want_over, dtype=jnp.int32))
         else:
             offset = jnp.cumsum(want.astype(jnp.int32)) - 1
             slot = jnp.where(want, s["count"] + offset, cap)  # cap: dropped
@@ -472,6 +496,9 @@ def emit_round(scene: Scene, cfg: RenderConfig, key, counts: tuple,
         if per_lane:
             st2["flag"] = st["flag"]          # full-width, NOT compacted
             st2["orig"] = st["orig"][cidx]
+            st2["has"] = st["has"][cidx]
+            st2["obufs"] = st["obufs"]        # global, NOT compacted
+            st2["ocount"] = st["ocount"]
         return st2, lost
 
     def staged_cond(limit):
@@ -498,7 +525,8 @@ def emit_round(scene: Scene, cfg: RenderConfig, key, counts: tuple,
         # keep the 1-D component arrays: the caller's on-device append
         # scatters them straight into 1-D accumulators (same layout lesson
         # as the store buffers above)
-        return fb, st["flag"], st["count"], lost
+        return (fb, st["flag"], st["count"], st["obufs"], st["ocount"],
+                lost)
     return (jnp.stack(fb[0:3], axis=-1), jnp.stack(fb[3:6], axis=-1),
             fb[6], st["count"], lost)
 
@@ -559,6 +587,14 @@ def _append_round(acc: tuple, stores: tuple, flag, stored):
     idx = jnp.where(flag, stored + offset, oob)
     return tuple(a.at[idx].set(v, mode="drop")
                  for a, v in zip(acc, stores))
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def _append_overflow(acc: tuple, obufs: tuple, ocount, stored):
+    """Append the first `ocount` (already-contiguous) rows of the per-round
+    overflow buffers into the accumulators at offset `stored`."""
+    flag = jnp.arange(obufs[0].shape[0], dtype=jnp.int32) < ocount
+    return _append_round(acc, obufs, flag, stored)
 
 
 def _fetch_prefix(arrays, lo, n, cap):
@@ -657,6 +693,7 @@ def trace_photon_map(scene: Scene, cfg: RenderConfig, key, map_type: int,
     attempts = 40
     overflow_rounds = 0
     narrow_div = 8
+    ocap_div = 16
     # Single-device caustic maps stay entirely ON DEVICE: per-lane store
     # arrays are scattered once per round into preallocated accumulators
     # (donated in place) and only the scalar counts cross to the host.
@@ -670,23 +707,31 @@ def trace_photon_map(scene: Scene, cfg: RenderConfig, key, map_type: int,
     while stored < goal and attempts > 0:
         if use_dev_acc:
             key, sub = jax.random.split(key)
-            stores, flag, cnt, lost = emit_round(
+            stores, flag, cnt, obufs, ocnt, lost = emit_round(
                 scene, cfg, sub, counts, map_type, R, cone_axis, cone_cos,
-                weight, narrow_div=narrow_div, per_lane=True)
+                weight, narrow_div=narrow_div, per_lane=True,
+                ocap_div=ocap_div)
             n_lost = int(lost)
-            if n_lost > 0:
-                # walk survivors past the stage-2 compaction width would
-                # silently lose flux: discard the round, widen the tail
+            n_over = int(ocnt)
+            ocap = max(1024, R // ocap_div)
+            if n_lost > 0 or n_over > ocap:
+                # walk survivors past the stage-2 compaction width, or 2nd+
+                # stores past the overflow width, would silently lose flux:
+                # discard the round, widen the losing buffer
                 overflow_rounds += 1
                 if overflow_rounds > 6:
                     raise RuntimeError(
-                        f"photon walk loses {n_lost} lanes even after "
-                        f"{overflow_rounds - 1} narrow-tail retries")
-                narrow_div = max(1, narrow_div // 2)
+                        f"photon walk loses lanes (lost {n_lost}, "
+                        f"overflow {n_over}/{ocap}) even after "
+                        f"{overflow_rounds - 1} retries")
+                if n_lost > 0:
+                    narrow_div = max(1, narrow_div // 2)
+                if n_over > ocap:
+                    ocap_div = max(1, ocap_div // 4)
                 continue
             emitted += e_round
             emitted_real += R
-            n_round = int(cnt)
+            n_round = int(cnt)          # total stores = sum(flag) + n_over
             if n_round > 0:
                 if acc is None:
                     acc_cap = goal + _SIZES[-1] + 8 * max(1, len(powers))
@@ -694,7 +739,11 @@ def trace_photon_map(scene: Scene, cfg: RenderConfig, key, map_type: int,
                         jnp.zeros((acc_cap,), jnp.int32),)
                 acc = _append_round(acc, stores, flag,
                                     jnp.asarray(stored, jnp.int32))
-                stored += n_round
+                stored += n_round - n_over
+                if n_over > 0:
+                    acc = _append_overflow(acc, obufs, ocnt,
+                                           jnp.asarray(stored, jnp.int32))
+                    stored += n_over
             else:
                 attempts -= 1
             if 0 < n_round and stored < goal and size_i < len(_SIZES) - 1:

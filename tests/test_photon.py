@@ -170,16 +170,83 @@ def test_per_lane_store_path_matches_scatter_path(cornell_scene):
     counts = (8192,)
     pos, power, code, cnt, lost = emit_round(
         cornell_scene, cfg, key, counts, MAP_CAUSTIC, 4 * 8192)
-    stores, flag, cnt2, lost2 = emit_round(
+    stores, flag, cnt2, obufs, ocnt, lost2 = emit_round(
         cornell_scene, cfg, key, counts, MAP_CAUSTIC, 8192, per_lane=True)
     n = int(cnt)
+    n_over = int(ocnt)
     assert int(cnt2) == n and int(lost2) == int(lost) == 0
     f = np.asarray(flag)
-    assert f.sum() == n
+    assert f.sum() + n_over == n
     a = np.concatenate([np.asarray(pos[:n]), np.asarray(power[:n]),
                         np.asarray(code[:n], np.float32)[:, None]], axis=1)
     b = np.stack([np.asarray(s)[f] for s in stores], axis=1)
+    if n_over:
+        b = np.concatenate(
+            [b, np.stack([np.asarray(s)[:n_over] for s in obufs], axis=1)])
     # same multiset: sort both by a stable lexicographic key
+    a = a[np.lexsort(a.T)]
+    b = b[np.lexsort(b.T)]
+    np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-7)
+
+
+_MIXED_SCN = """\
+camera 0.5 0.5 -1.5   0 0 1   0 1 0   0.33   0.01 100
+# one MIXED kd+ks material everywhere: a caustic walk re-arms after each
+# specular bounce and can store MORE THAN ONCE (photontracer.cpp:77-80)
+material 0 0 0   0.45 0.45 0.45   0.5 0.5 0.5   0 0 0   0 0 0   100 1.0 0
+# floor
+tri 0   1 0 0   0 0 0   0 0 1
+tri 0   0 0 1   1 0 1   1 0 0
+# ceiling
+tri 0   1 1 0   1 1 1   0 1 1
+tri 0   0 1 1   0 1 0   1 1 0
+# back wall
+tri 0   1 0 1   0 0 1   0 1 1
+tri 0   0 1 1   1 1 1   1 0 1
+# front wall
+tri 0   0 0 0   1 0 0   1 1 0
+tri 0   1 1 0   0 1 0   0 0 0
+# left wall
+tri 0   0 0 1   0 0 0   0 1 0
+tri 0   0 1 0   0 1 1   0 0 1
+# right wall
+tri 0   1 0 0   1 0 1   1 1 1
+tri 0   1 1 1   1 1 0   1 0 0
+point_light 1 1 1   0.5 0.5 0.5    0 0 1
+"""
+
+
+def test_per_lane_multi_store_overflow(tmp_path):
+    """A mixed kd+ks scene produces lanes that store MORE than once; the
+    per-lane path must capture 2nd+ stores in its overflow buffer instead
+    of overwriting the lane slot (exact multiset parity with the
+    prefix-sum scatter path)."""
+    from gi_tpu.scene.scn import load_scene
+    from gi_tpu.photon.trace import MAP_CAUSTIC, emit_round
+    p = tmp_path / "mixed.scn"
+    p.write_text(_MIXED_SCN)
+    scene = load_scene(str(p))
+    cfg = RenderConfig(max_photon_depth=16)
+    key = jax.random.PRNGKey(7)
+    counts = (4096,)
+    pos, power, code, cnt, lost = emit_round(
+        scene, cfg, key, counts, MAP_CAUSTIC, 16 * 4096)
+    stores, flag, cnt2, obufs, ocnt, lost2 = emit_round(
+        scene, cfg, key, counts, MAP_CAUSTIC, 4096, per_lane=True,
+        ocap_div=1)
+    n, n_over = int(cnt), int(ocnt)
+    assert int(lost) == int(lost2) == 0
+    assert n_over > 0, "mixed materials must exercise the overflow path"
+    assert n_over <= obufs[0].shape[0]
+    assert int(cnt2) == n
+    f = np.asarray(flag)
+    assert f.sum() + n_over == n
+    a = np.concatenate([np.asarray(pos[:n]), np.asarray(power[:n]),
+                        np.asarray(code[:n], np.float32)[:, None]], axis=1)
+    b = np.stack([np.asarray(s)[f] for s in stores], axis=1)
+    b = np.concatenate(
+        [b, np.stack([np.asarray(s, np.float32)[:n_over] for s in obufs],
+                     axis=1)])
     a = a[np.lexsort(a.T)]
     b = b[np.lexsort(b.T)]
     np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-7)
