@@ -259,8 +259,9 @@ def mc_walk(scene: Scene, cfg: RenderConfig, key, o, d, weight, phase, alive,
     while ANY lane lives, so the non-differentiable walk compacts
     survivors to B/4 after 12 bounces and to B/16 after 36 (masked prefix
     gather — same scheme as photon/trace.emit_round).  Lanes beyond a
-    compaction width are dropped and counted in ST.DROPPED_GATHER (never
-    silent; vanishingly rare at these margins)."""
+    compaction width are dropped and counted in ST.DROPPED_LANES (never
+    silent; vanishingly rare at these margins — distinct from
+    ST.DROPPED_GATHER, which counts request-queue overflow)."""
     from ..photon.gather import ShardedMaps
 
     B = o.shape[0]
@@ -565,7 +566,7 @@ def mc_walk(scene: Scene, cfg: RenderConfig, key, o, d, weight, phase, alive,
             alive=st.alive[cidx] & lane_ok,
             row=jnp.where(lane_ok, st.row[cidx], n_rows),
             scale=st.scale[cidx], color=st.color, depth=st.depth,
-            counters=st.counters.at[ST.DROPPED_GATHER].add(dropped),
+            counters=st.counters.at[ST.DROPPED_LANES].add(dropped),
             cq=st.cq, gq=st.gq,
             orig=(jnp.where(lane_ok, st.orig[cidx], B)
                   if st.orig is not None else None),

@@ -137,11 +137,17 @@ def _answer_queue_host(grid, q, color, est_size, est_dist, filt, cfg,
     # same (row, point) with the same estimate — merge their weights and
     # answer each distinct query once (central caustic tiles: ~500k
     # requests -> a few thousand distinct).
-    key_sorted = jnp.lexsort((d[2][:], d[1][:], d[0][:], rows))
+    # key = (row, point xyz, bounce-x, cos_theta): the bounce/ct fields
+    # discriminate coincident points reached by DIFFERENT walk bounces
+    # (e.g. a specular loop re-hitting a point at a later depth), whose
+    # estimates differ even though the position matches (ADVICE r4)
+    key_sorted = jnp.lexsort((d[9][:], d[6][:], d[2][:], d[1][:], d[0][:],
+                              rows))
     ds = [c[key_sorted] for c in d]
     rs = rows[key_sorted]
     neq = ((rs[1:] != rs[:-1]) | (ds[0][1:] != ds[0][:-1])
-           | (ds[1][1:] != ds[1][:-1]) | (ds[2][1:] != ds[2][:-1]))
+           | (ds[1][1:] != ds[1][:-1]) | (ds[2][1:] != ds[2][:-1])
+           | (ds[6][1:] != ds[6][:-1]) | (ds[9][1:] != ds[9][:-1]))
     uniq = jnp.concatenate([jnp.ones((1,), bool), neq])
     seg = jnp.cumsum(uniq.astype(jnp.int32)) - 1
     n_u = int(seg[-1]) + 1

@@ -102,7 +102,7 @@ def render_pixels_multihost(scene, cfg, key, local_pixel_idx, width, height,
     local_pixel_idx order).  Ray counters are psum'd across the WHOLE mesh
     (P4 over DCN) and returned replicated to every process.
     """
-    from .mesh import render_tile_sharded
+    from .mesh import render_tile_mapsharded, render_tile_sharded
     mesh = mesh or global_mesh()
     n_dev = len(mesh.devices.ravel())
     local_pixel_idx = np.asarray(local_pixel_idx, np.int32)
@@ -110,13 +110,38 @@ def render_pixels_multihost(scene, cfg, key, local_pixel_idx, width, height,
         == 0, "local batch must divide evenly over local devices"
 
     scene_g = replicate_global(scene, mesh)
-    maps_g = (replicate_global(photon_maps, mesh)
-              if photon_maps is not None else None)
     key_g = replicate_global(key, mesh)
     idx_g = shard_global(local_pixel_idx, mesh)
 
-    out = render_tile_sharded(scene_g, cfg, key_g, idx_g, width, height,
-                              mesh, maps_g, with_stats=with_stats)
+    if photon_maps is not None and cfg.shard_maps:
+        # P7 x P8: device-shard the maps over the WHOLE multi-host mesh
+        # (each process assembles the global arrays from its own replicated
+        # trace — parallel.gather.shard_photons) and run the ring-exchange
+        # deferred gather across processes; collectives ride ICI within a
+        # host and DCN between them.
+        from ..photon.gather import ShardedMaps
+        from .gather import build_sharded_maps
+        smaps = build_sharded_maps(photon_maps, cfg, mesh)
+        if smaps.global_rep is not None:
+            smaps = ShardedMaps(
+                caustic=smaps.caustic, global_=smaps.global_,
+                caustic_rep=None,
+                global_rep=replicate_global(smaps.global_rep, mesh))
+        out = render_tile_mapsharded(scene_g, cfg, key_g, idx_g, width,
+                                     height, mesh, smaps,
+                                     with_stats=with_stats)
+        dropped = int(np.asarray(out[-1].addressable_data(0)))
+        if dropped:
+            import sys
+            print(f"gi_tpu: warning: {dropped} deferred gather requests "
+                  f"overflowed their queues (multi-host sharded-map "
+                  f"render)", file=sys.stderr)
+        out = out[0] if len(out) == 2 else out[:-1]
+    else:
+        maps_g = (replicate_global(photon_maps, mesh)
+                  if photon_maps is not None else None)
+        out = render_tile_sharded(scene_g, cfg, key_g, idx_g, width, height,
+                                  mesh, maps_g, with_stats=with_stats)
     if with_stats:
         colors, counters = out
         # counters are replicated (psum'd over the whole mesh): any

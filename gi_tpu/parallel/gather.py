@@ -62,25 +62,31 @@ def shard_photons(pos, power, dir_code, valid, mesh: Mesh):
     """
     from jax.sharding import NamedSharding
     procs = {dev.process_index for dev in mesh.devices.flat}
-    if len(procs) > 1:
-        # device_put of a host-local array onto a non-fully-addressable
-        # sharding raises deep inside XLA; fail with guidance instead.
-        # Multi-host sharded maps need per-process shard assembly
-        # (jax.make_array_from_process_local_data) driven by a
-        # process-local photon trace — not wired up yet.
-        raise ValueError(
-            "shard_photons requires a single-process mesh; for multi-host "
-            "runs trace photons per process and shard over the "
-            "host-local mesh")
     d = int(mesh.devices.size)
     n = pos.shape[0]
     n_pad = -(-max(n, 1) // (d * 8)) * (d * 8)
     incident = S.decode_direction(jnp.asarray(dir_code, jnp.int32))
     sh = NamedSharding(mesh, P(AXIS))
-    return (jax.device_put(_pad_to(jnp.asarray(pos, jnp.float32), n_pad), sh),
-            jax.device_put(_pad_to(jnp.asarray(power, jnp.float32), n_pad), sh),
-            jax.device_put(_pad_to(incident, n_pad), sh),
-            jax.device_put(_pad_to(jnp.asarray(valid, bool), n_pad), sh))
+    arrs = (_pad_to(jnp.asarray(pos, jnp.float32), n_pad),
+            _pad_to(jnp.asarray(power, jnp.float32), n_pad),
+            _pad_to(incident, n_pad),
+            _pad_to(jnp.asarray(valid, bool), n_pad))
+    if len(procs) > 1:
+        # P7 x P8: a device_put of host-local data onto a
+        # non-fully-addressable sharding raises deep inside XLA.  Every
+        # process holds the SAME full map (the trace is replicated across
+        # processes — P5 keys make it bit-identical), so build the global
+        # array per process from its own copy: the callback hands each
+        # addressable shard its global row slice.
+        import numpy as np
+
+        def globalize(x):
+            host = np.asarray(x)
+            return jax.make_array_from_callback(
+                host.shape, sh, lambda idx: host[idx])
+
+        return tuple(globalize(a) for a in arrs)
+    return tuple(jax.device_put(a, sh) for a in arrs)
 
 
 def build_sharded_maps(maps, cfg, mesh: Mesh):

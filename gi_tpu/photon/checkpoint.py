@@ -53,6 +53,13 @@ def save_maps(path: str, maps: PhotonMaps) -> None:
                             pos, power, dircode)
         m = _grid_meta(grid)
         m["count"] = int(valid.sum())
+        # saved photon order comes from the built grid, whose within-cell
+        # order build_grid decorrelated; record that so load can skip the
+        # re-shuffle (bit-identical restore) while checkpoints written
+        # before this flag existed get decorrelated on load (ADVICE r4:
+        # a correlated cell prefix is a biased sample under cell_max
+        # truncation)
+        m["decorrelated"] = True
         meta["maps"][name] = m
     with open(os.path.join(path, _META), "w") as f:
         json.dump(meta, f, indent=1)
@@ -86,5 +93,5 @@ def load_maps(path: str) -> PhotonMaps:
             jnp.asarray(dircode.astype(np.int32)),
             jnp.ones(len(pos), bool), origin, bbox_hi,
             cell, int(m["cell_cap"]), max_dim=max(dims), dims=dims,
-            decorrelate=False)
+            decorrelate=not m.get("decorrelated", False))
     return PhotonMaps(global_=grids["global"], caustic=grids["caustic"])

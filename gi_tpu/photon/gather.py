@@ -34,9 +34,10 @@ from ..ops import sampling as S
 
 # Chunk width of the Pallas gather kernel's photon-window DMAs.  `packed`
 # is padded in both dims for Mosaic's HBM tiling: 16 rows (sublane multiple
-# of 8) x columns rounded up to a 512 boundary plus one spare chunk, so a
-# WCH-aligned window start can never slice out of bounds.
-_PACK_CHUNK = 512
+# of 8) x columns rounded up to a 2048 boundary plus one spare chunk, so a
+# WCH- (v1, 512) or WCH2- (v2, 2048) aligned window start can never slice
+# out of bounds.
+_PACK_CHUNK = 2048
 
 
 @struct.dataclass

@@ -54,7 +54,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 QB = 128     # queries per block
-WCH = 512    # photons per window chunk (== gather._PACK_CHUNK)
+WCH = 512    # photons per window chunk, v1 kernel
+WCH2 = 2048  # photons per window chunk, v2 kernel (== gather._PACK_CHUNK;
+             # wide chunks amortize DMA issue latency and fori_loop
+             # overhead — the v2 stream is double-buffered, so chunk
+             # width costs no latency exposure)
 NB = 64      # threshold edges per refinement level (resolution cap^2/NB^3)
 _QCHUNK = 131072  # max queries per pallas_call: SMEM window tables cost
                   # 2 * (q/QB)*27*4 B -> 221 KB here, under the 1 MB SMEM
@@ -346,9 +350,17 @@ def estimate_radiance_pallas(grid, point, normal, exact_bounce, cos_theta,
                     interpret=interpret)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("estimate_size", "estimate_dist", "filter_type",
+                     "cfg", "interpret"))
 def _pallas_chunk(grid, point, normal, exact_bounce, cos_theta,
                   kd, ks, shin, *, estimate_size, estimate_dist,
                   filter_type, cfg, interpret):
+    """v1 wrapper, jitted end-to-end: when answered from the host queue
+    path (models/render.py::_answer_queue_host) the interval building +
+    sort + kernel launch is ONE executable, not ~10^2 eager dispatches
+    (each a multi-ms round trip under a remote-device tunnel)."""
     nx, ny, nz = grid.dims
     N = grid.pos.shape[0]
     B = point.shape[0]
@@ -493,20 +505,37 @@ _QB2 = 32            # v2 queries per block: scattered walk-bounce queries
 
 
 def _gather_kernel_v2(wpk_ref,                # scalar prefetch [nb*32] i32:
-                                               # (wlo/WCH) << 14 | n_chunks
-                                               # (packed: SMEM is the block-
-                                               # capacity ceiling, and over-
-                                               # flowing it mixes scattered
-                                               # queries into giant windows)
+                                               # (wlo/WCH2) << 15 | n_chunks
+                                               # (packed: one SMEM word per
+                                               # block-slot is the block-
+                                               # capacity ceiling; n_chunks
+                                               # 0x7FFF is a SENTINEL that
+                                               # streams the WHOLE map, so
+                                               # giant overflow-block windows
+                                               # are slow, never truncated)
                       q_ref,                   # [QB, 24] f32 query pack
                       se_ref,                  # [QB, 64] i32 starts/ends
                       sc_ref,                  # [QB, 32] f32 flux scales
                       ph_ref,                  # [16, Npad] f32 HBM photons
                       est_ref,                 # out [QB, 4] f32
-                      buf, sem, st_ref,
-                      *, K, cap2, filter_type, f_a, f_b, f_k):
+                      buf, sem, st_ref, acc_ref,
+                      *, K, cap2, filter_type, f_a, f_b, f_k, n_full):
     """One query block, single accumulation pass (q_ref col 17 = tau^2,
-    derived from the subcell table by the wrapper)."""
+    derived from the subcell table by the wrapper).
+
+    Round-5 streaming rewrite — the round-4 kernel paid ~6 us per 512-photon
+    chunk (synchronous DMA start/wait + up to nine cross-lane reductions per
+    chunk), ~50x above the VPU+DMA roofline for the measured stream volume
+    (tools/probe_volume.py).  Now:
+      * chunks are WCH2=2048 photons, DMA'd double-buffered (buf[2], one
+        semaphore per slot) so the next chunk's HBM fetch overlaps the
+        current chunk's arithmetic;
+      * per-photon partial sums land in PER-LANE accumulators
+        (acc_ref[slot] : [QB, WCH2]) with pure elementwise ops; the
+        cross-lane reductions happen ONCE per block, not once per chunk;
+      * the Phong-lobe exp/log tower is skipped for blocks whose queries
+        are all diffuse (ks == 0 — most of any frame's surface area).
+    """
     i = pl.program_id(0)
 
     qx = q_ref[:, 0:1]
@@ -528,94 +557,129 @@ def _gather_kernel_v2(wpk_ref,                # scalar prefetch [nb*32] i32:
     ksb = q_ref[:, 16:17]
     tau2 = q_ref[:, 17:18]
     sparse = q_ref[:, 18:19] > 0.5
+    sgn_qcos = jnp.sign(qcos)
+    has_spec = jnp.any((ksr > 0) | (ksg > 0) | (ksb > 0))
 
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, WCH), 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, WCH2), 1)
+
+    # n_chunks sum over slots (a sentinel contributes its raw 0x7FFF > 0):
+    # empty blocks skip everything below except the est zero-fill
+    n_total = 0
+    for run in range(_RUNS_V2):
+        n_total = n_total + (wpk_ref[i * _RUNS_V2 + run] & 0x7FFF)
 
     def stream(chunk_fn):
         for run in range(_RUNS_V2):
             v = wpk_ref[i * _RUNS_V2 + run]
-            w_lo = (v >> 14) * WCH
-            n_ch = v & 0x3FFF
+            nch_raw = v & 0x7FFF
+            is_full = nch_raw == 0x7FFF
+            n_ch = jnp.where(is_full, n_full, nch_raw)
+            w_lo = jnp.where(is_full, 0, (v >> 15) * WCH2)
             s = se_ref[:, run:run + 1]
             e = se_ref[:, _RUNS_V2 + run:_RUNS_V2 + run + 1]
             sc = sc_ref[:, run:run + 1]
 
-            def chunk_body(j, _):
-                start = pl.multiple_of(w_lo + j * WCH, WCH)
-                dma = pltpu.make_async_copy(
-                    ph_ref.at[:, pl.ds(start, WCH)], buf, sem)
-                dma.start()
-                dma.wait()
-                g = start + lane
-                px = buf[0:1, :]
-                py = buf[1:2, :]
-                pz = buf[2:3, :]
-                d2 = ((qx - px) ** 2 + (qy - py) ** 2 + (qz - pz) ** 2)
-                m = (g >= s) & (g < e)
-                scale = jnp.where(m, sc, 0.0)
-                include = m & (d2 <= tau2)
-                chunk_fn(d2, include, scale, buf)
-                return 0
+            def get_dma(slot, j):
+                start = pl.multiple_of(w_lo + j * WCH2, WCH2)
+                return pltpu.make_async_copy(
+                    ph_ref.at[:, pl.ds(start, WCH2)], buf.at[slot],
+                    sem.at[slot])
 
-            jax.lax.fori_loop(0, n_ch, chunk_body, 0)
+            @pl.when(n_ch > 0)
+            def _():
+                get_dma(0, 0).start()
 
-    # st cols: 0-2 sum(contrib), 3-5 sum(contrib*d) [cone], 6 max d2,
-    # 7 included count, 8-10 sum(contrib*w) [gauss], 11 sum(w) [gauss]
-    st_ref[:] = jnp.zeros((_QB2, 16), jnp.float32)
+                def chunk_body(j, _):
+                    slot = j & 1
 
-    # skip the whole streaming machinery for empty blocks (most of the
-    # padded block capacity): st_ref stays zero -> est written as zero
-    n_total = 0
-    for run in range(_RUNS_V2):
-        n_total = n_total + (wpk_ref[i * _RUNS_V2 + run] & 0x3FFF)
+                    @pl.when(j + 1 < n_ch)
+                    def _():
+                        get_dma(1 - slot, j + 1).start()
 
-    def acc_pass(r2_for_gauss):
-        def fn(d2, include, scale, buf):
-            fr = buf[3:4, :]
-            fg = buf[4:5, :]
-            fb_ = buf[5:6, :]
-            ix = buf[6:7, :]
-            iy = buf[7:8, :]
-            iz = buf[8:9, :]
-            perp = nx_ * ix + ny_ * iy + nz_ * iz
-            cull = (((qcos < 0) & (perp < 0)) | ((qcos > 0) & (perp > 0)))
-            use = include & ~cull
+                    get_dma(slot, j).wait()
+                    bv = buf[slot]
+                    g = pl.multiple_of(w_lo + j * WCH2, WCH2) + lane
+                    px = bv[0:1, :]
+                    py = bv[1:2, :]
+                    pz = bv[2:3, :]
+                    d2 = ((qx - px) ** 2 + (qy - py) ** 2 + (qz - pz) ** 2)
+                    m = (g >= s) & (g < e)
+                    include = m & (d2 <= tau2)
+                    chunk_fn(d2, include, sc, bv)
+                    return 0
+
+                jax.lax.fori_loop(0, n_ch, chunk_body, 0)
+
+    # acc_ref slots (per-lane partials, reduced once per pass):
+    #   0-2 contrib rgb | 3 count (pass 1) / gauss w-sum (pass 2)
+    #   4 max d2 | 5-7 contrib*d rgb (cone only)
+    NA = acc_ref.shape[0]
+
+    def zero_accs():
+        for a in range(NA):
+            acc_ref[a] = jnp.zeros((_QB2, WCH2), jnp.float32)
+
+    def weighted_contrib(include, sc, bv, emit):
+        """Shared BRDF weighting: calls emit(ch, c) with each color
+        channel's per-lane contribution; the Phong specular tower is
+        compiled once but skipped at runtime for all-diffuse blocks."""
+        ix = bv[6:7, :]
+        iy = bv[7:8, :]
+        iz = bv[8:9, :]
+        perp = nx_ * ix + ny_ * iy + nz_ * iz
+        use = include & ~(perp * sgn_qcos > 0)       # normal-side cull
+        usf = use.astype(jnp.float32) * sc
+        base = jnp.abs(perp)
+        chans = [(bv[3:4, :], kdr, ksr), (bv[4:5, :], kdg, ksg),
+                 (bv[5:6, :], kdb, ksb)]
+
+        @pl.when(has_spec)
+        def _():
             cos_a = jnp.maximum(-(bx * ix + by * iy + bz * iz), 0.0)
             pow_a = jnp.exp(shin * jnp.log(jnp.maximum(cos_a, 1e-30)))
-            base = jnp.abs(perp)
-            usf = use.astype(jnp.float32)
-            if r2_for_gauss is None:
-                d = jnp.sqrt(jnp.maximum(d2, 1e-12))
-                for ch, (f, kd_c, ks_c) in enumerate(
-                        [(fr, kdr, ksr), (fg, kdg, ksg), (fb_, kdb, ksb)]):
-                    c = f * scale * (base * kd_c + pow_a * ks_c) * usf
-                    st_ref[:, ch:ch + 1] += jnp.sum(c, axis=1,
-                                                    keepdims=True)
-                    if filter_type == CONE:
-                        st_ref[:, 3 + ch:4 + ch] += jnp.sum(
-                            c * d, axis=1, keepdims=True)
-                st_ref[:, 6:7] = jnp.maximum(
-                    st_ref[:, 6:7],
-                    jnp.max(jnp.where(include, d2, 0.0), axis=1,
-                            keepdims=True))
-                st_ref[:, 7:8] += jnp.sum(include.astype(jnp.float32),
-                                          axis=1, keepdims=True)
-            else:
-                c1 = np.exp(-f_b)
-                w = 1.0 - (1.0 - jnp.exp(-f_b * d2 /
-                                         (2.0 * r2_for_gauss))) / (1.0 - c1)
-                for ch, (f, kd_c, ks_c) in enumerate(
-                        [(fr, kdr, ksr), (fg, kdg, ksg), (fb_, kdb, ksb)]):
-                    c = f * scale * (base * kd_c + pow_a * ks_c) * usf
-                    st_ref[:, 8 + ch:9 + ch] += jnp.sum(
-                        c * w, axis=1, keepdims=True)
-                st_ref[:, 11:12] += jnp.sum(w * usf, axis=1, keepdims=True)
+            for ch, (f, kd_c, ks_c) in enumerate(chans):
+                emit(ch, f * (base * kd_c + pow_a * ks_c) * usf)
 
-        stream(fn)
+        @pl.when(~has_spec)
+        def _():
+            for ch, (f, kd_c, _ks_c) in enumerate(chans):
+                emit(ch, f * (base * kd_c) * usf)
+        return use
+
+    def fn_main(d2, include, sc, bv):
+        d = (jnp.sqrt(jnp.maximum(d2, 1e-12))
+             if filter_type == CONE else None)
+
+        def emit(ch, c):
+            acc_ref[ch] += c
+            if filter_type == CONE:
+                acc_ref[5 + ch] += c * d
+
+        weighted_contrib(include, sc, bv, emit)
+        acc_ref[3] += include.astype(jnp.float32)
+        acc_ref[4] = jnp.maximum(acc_ref[4], jnp.where(include, d2, 0.0))
+
+    def fn_count(d2, include, sc, bv):
+        # gauss pass 1 only needs the neighbor count and radius
+        acc_ref[3] += include.astype(jnp.float32)
+        acc_ref[4] = jnp.maximum(acc_ref[4], jnp.where(include, d2, 0.0))
+
+    st_ref[:] = jnp.zeros((_QB2, 16), jnp.float32)
 
     @pl.when(n_total > 0)
     def _():
-        acc_pass(None)
+        zero_accs()
+        stream(fn_count if filter_type == GAUSS else fn_main)
+        st_ref[:, 6:7] = jnp.max(acc_ref[4], axis=1, keepdims=True)
+        st_ref[:, 7:8] = jnp.sum(acc_ref[3], axis=1, keepdims=True)
+        if filter_type != GAUSS:
+            for ch in range(3):
+                st_ref[:, ch:ch + 1] = jnp.sum(acc_ref[ch], axis=1,
+                                               keepdims=True)
+            if filter_type == CONE:
+                for ch in range(3):
+                    st_ref[:, 3 + ch:4 + ch] = jnp.sum(
+                        acc_ref[5 + ch], axis=1, keepdims=True)
 
     cnt = st_ref[:, 7:8]
     kf = jnp.float32(K)
@@ -627,9 +691,26 @@ def _gather_kernel_v2(wpk_ref,                # scalar prefetch [nb*32] i32:
                       jnp.maximum(st_ref[:, 6:7], 1e-6))
 
     if filter_type == GAUSS:
+        # weighted second pass, with the pass-1 radius known
+        c1 = np.exp(-f_b)
+
+        def fn_gauss(d2, include, sc, bv):
+            w = 1.0 - (1.0 - jnp.exp(-f_b * d2 / (2.0 * maxd2))) / (1.0 - c1)
+
+            def emit(ch, c):
+                acc_ref[ch] += c * w
+
+            use = weighted_contrib(include, sc, bv, emit)
+            acc_ref[3] += w * use.astype(jnp.float32)
+
         @pl.when(n_total > 0)
         def _():
-            acc_pass(maxd2)
+            zero_accs()
+            stream(fn_gauss)
+            for ch in range(3):
+                st_ref[:, 8 + ch:9 + ch] = jnp.sum(acc_ref[ch], axis=1,
+                                                   keepdims=True)
+            st_ref[:, 11:12] = jnp.sum(acc_ref[3], axis=1, keepdims=True)
 
     acc = st_ref[:, 0:3]
     if filter_type == CONE:
@@ -673,14 +754,18 @@ def _gather_call_v2(wpk, qpack, se, sc, photons, *, K, cap2,
         out_specs=pl.BlockSpec((_QB2, 4), lambda i, *_: (i, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((16, WCH), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, 16, WCH2), jnp.float32),   # double-buffered DMA
+            pltpu.SemaphoreType.DMA((2,)),
             pltpu.VMEM((_QB2, 16), jnp.float32),
+            # per-lane accumulators: disk/gauss need 5, cone 8
+            pltpu.VMEM((8 if filter_type == CONE else 5, _QB2, WCH2),
+                       jnp.float32),
         ],
     )
     kernel = functools.partial(
         _gather_kernel_v2, K=K, cap2=cap2, filter_type=filter_type,
-        f_a=f_a, f_b=f_b, f_k=f_k)
+        f_a=f_a, f_b=f_b, f_k=f_k,
+        n_full=photons.shape[1] // WCH2)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -689,13 +774,27 @@ def _gather_call_v2(wpk, qpack, se, sc, photons, *, K, cap2,
     )(wpk, qpack, se, sc, photons)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("estimate_size", "estimate_dist", "filter_type",
+                     "cfg", "interpret"))
 def _pallas_chunk_v2(grid, point, normal, exact_bounce, cos_theta,
                      kd, ks, shin, *, estimate_size, estimate_dist,
                      filter_type, cfg, interpret):
+    """v2 wrapper, jitted end-to-end (see _pallas_chunk): the tau table
+    derivation + slot building + scatter packing is ~200 jnp ops — eager,
+    those round-trips dominated the round-4 warm gather (the kernel itself
+    was a minority of the 0.9 s/4096-query hotspot probe)."""
     nx, ny, nz = grid.dims
     Sd = grid.sub_div
     S3 = Sd ** 3
     N = grid.pos.shape[0]
+    if grid.packed.shape[1] > (1 << 16) * WCH2:
+        raise ValueError(
+            f"photon map too large for the v2 gather's window packing "
+            f"({grid.packed.shape[1]} padded photons > "
+            f"{(1 << 16) * WCH2}); shard the map across devices "
+            f"(parallel/gather.py) or raise WCH2")
     B = point.shape[0]
     K = int(estimate_size)
     cap2 = float(estimate_dist) * float(estimate_dist)
@@ -961,10 +1060,17 @@ def _pallas_chunk_v2(grid, point, normal, exact_bounce, cos_theta,
     e_blk = se[:, R2:2 * R2].reshape(nb, _QB2, R2)
     run_lo = jnp.min(s_blk, axis=1)
     run_hi = jnp.max(e_blk, axis=1)
-    run_lo = (jnp.minimum(run_lo, N) // WCH) * WCH
+    run_lo = (jnp.minimum(run_lo, N) // WCH2) * WCH2
     wlen = jnp.maximum(run_hi - run_lo, 0)
-    wnch = jnp.minimum((wlen + WCH - 1) // WCH, 0x3FFF).astype(jnp.int32)
-    wpk = ((run_lo.astype(jnp.int32) // WCH) << 14) | wnch
+    wnch = ((wlen + WCH2 - 1) // WCH2).astype(jnp.int32)
+    # pack (chunk index << 15 | n_chunks) into one non-negative int32.
+    # chunk index <= 2^16-1 covers Npad <= 2^16 * WCH2 = 134M photons
+    # (checked statically above); a window needing >= 0x7FFF chunks gets
+    # the SENTINEL 0x7FFF — the kernel streams the whole map for that run
+    # (correct, just slow; only overflow blocks mixing far-apart queries
+    # can produce one), so nothing is ever silently truncated.
+    ci = (run_lo // WCH2).astype(jnp.int32)
+    wpk = jnp.where(wnch >= 0x7FFF, jnp.int32(0x7FFF), (ci << 15) | wnch)
 
     out = _gather_call_v2(
         wpk.reshape(-1), qpack, se, sc, grid.packed,

@@ -18,10 +18,14 @@ from __future__ import annotations
 import time
 from dataclasses import dataclass, field
 
-# counter vector indices
+# counter vector indices.  DROPPED_GATHER = photon-map request-queue
+# overflow (deferred gather capacity); DROPPED_LANES = surviving walk
+# lanes beyond a compaction stage's width — distinct loss modes with
+# distinct remedies (-gather_queue_cap vs stage widths), counted apart
+# (ADVICE r3).
 (SCREEN, SHADOW, MONTE, TRANSMISSIVE, SPECULAR, INDIRECT, CAUSTIC,
- DROPPED_GATHER) = range(8)
-N_COUNTERS = 8
+ DROPPED_GATHER, DROPPED_LANES) = range(9)
+N_COUNTERS = 9
 
 _LABELS = (
     ("# Screen Rays", SCREEN),
@@ -75,6 +79,10 @@ class RenderStats:
             lines.append(f"  !! Dropped Gather Requests = "
                          f"{self.counts[DROPPED_GATHER]} (queue overflow; "
                          f"photon-map energy missing)")
+        if self.counts[DROPPED_LANES]:
+            lines.append(f"  !! Dropped Walk Lanes = "
+                         f"{self.counts[DROPPED_LANES]} (survivors beyond "
+                         f"a compaction stage width; path energy missing)")
         if self.seconds > 0:
             lines.append(f"  ({total / self.seconds:,.0f} rays/s)")
         return "\n".join(lines)

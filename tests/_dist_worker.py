@@ -52,6 +52,27 @@ def main():
     assert np.isfinite(colors).all()
     np.save(os.path.join(outdir, f"colors_{pid}.npy"), colors)
     np.save(os.path.join(outdir, f"counters_{pid}.npy"), counters)
+
+    # ---- P7 x P8: device-sharded photon maps across BOTH processes ------
+    # Each process traces the identical (replicated) caustic map, then the
+    # render shards it over the 8-device global mesh and answers deferred
+    # gathers with the cross-process ring exchange.
+    from gi_tpu.photon.trace import build_photon_maps
+
+    scene_c = load_scene("/root/reference/input/caustic.scn")
+    cfg_c = RenderConfig(width=16, height=16, aa=0, indirect_illum=False,
+                         caustic_photon_count=8000,
+                         caustic_estimate_size=30, caustic_estimate_dist=0.3,
+                         transmissive_test=2, specular_test=2,
+                         max_monte_depth=3, max_photon_depth=12,
+                         ray_tile=256, shard_maps=True)
+    maps, cfg_c = build_photon_maps(scene_c, cfg_c, jax.random.PRNGKey(3))
+    assert maps is not None and maps.caustic is not None
+    colors_m = render_pixels_multihost(
+        scene_c, cfg_c, jax.random.PRNGKey(0), idx, 16, 16,
+        photon_maps=maps, mesh=mesh)
+    assert np.isfinite(colors_m).all()
+    np.save(os.path.join(outdir, f"mapshard_colors_{pid}.npy"), colors_m)
     print("WORKER_OK", pid, colors.shape, int(counters.sum()))
 
 

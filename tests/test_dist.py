@@ -80,3 +80,26 @@ def test_two_process_sharded_render(tmp_path, cornell_scene):
     np.testing.assert_allclose(np.concatenate([c0, c1]),
                                np.asarray(local), rtol=1e-5, atol=1e-6)
     np.testing.assert_array_equal(n0, np.asarray(counters))
+
+    # P7 x P8 (VERDICT r4 #5): the two-process SHARDED-MAP caustic render
+    # must match the single-process 8-device replicated-map render — the
+    # map shards live on devices of different processes and the deferred
+    # gathers ring-exchange across the DCN (gloo) boundary.
+    from gi_tpu.photon.trace import build_photon_maps
+    from gi_tpu.scene.scn import load_scene
+
+    m0 = np.load(tmp_path / "mapshard_colors_0.npy")
+    m1 = np.load(tmp_path / "mapshard_colors_1.npy")
+    scene_c = load_scene("/root/reference/input/caustic.scn")
+    cfg_c = RenderConfig(width=16, height=16, aa=0, indirect_illum=False,
+                         caustic_photon_count=8000,
+                         caustic_estimate_size=30, caustic_estimate_dist=0.3,
+                         transmissive_test=2, specular_test=2,
+                         max_monte_depth=3, max_photon_depth=12,
+                         ray_tile=256)
+    maps, cfg_c = build_photon_maps(scene_c, cfg_c, jax.random.PRNGKey(3))
+    ref = render_tile_sharded(scene_c, cfg_c, jax.random.PRNGKey(0), idx,
+                              16, 16, mesh, maps)
+    got = np.concatenate([m0, m1])
+    assert got.mean() > 0.005
+    np.testing.assert_allclose(got, np.asarray(ref), rtol=1e-4, atol=1e-5)
