@@ -192,12 +192,14 @@ def _bench_photon_trace(goal, metric, baseline_pps, depth=128,
     return out
 
 
-def _timed_subset_render(scene, cfg, maps, fraction, seed=0):
+def _timed_subset_render(scene, cfg, maps, fraction, seed=0,
+                         counters_out=None):
     """Time a random `fraction` of the supersample batch; return
     (estimated full-frame seconds, compile seconds, fraction).  Big
     replicated maps defer their photon-map requests out of the tile
     program; answering them (the production path, models/render.py) is
-    part of the timed work."""
+    part of the timed work.  Pass `counters_out` (int64 array >= 8 wide)
+    to accumulate the sampled tiles' per-category ray counters."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -213,9 +215,13 @@ def _timed_subset_render(scene, cfg, maps, fraction, seed=0):
     chosen = rng.choice(n_tiles, size=n_sample, replace=False)
 
     def run_one(sub, idx):
-        out = render_tile(scene, cfg, sub, idx, sw, sh, maps)
+        out = render_tile(scene, cfg, sub, idx, sw, sh, maps,
+                          with_stats=counters_out is not None)
         if isinstance(out, tuple) and len(out) == 4:
-            color, _counters, cq, gq = out
+            color, counters, cq, gq = out
+            if counters_out is not None:
+                c = np.asarray(counters)
+                counters_out[:c.shape[0]] += c
             if cq is not None:
                 color, _ = _answer_queue_host(
                     maps.caustic, cq, color, cfg.caustic_estimate_size,
@@ -227,6 +233,12 @@ def _timed_subset_render(scene, cfg, maps, fraction, seed=0):
                     cached=cfg.irradiance_cache)
             n_dof = cfg.dof_test if cfg.depth_of_field else 1
             return color.reshape(-1, n_dof, 3).mean(axis=1)
+        if isinstance(out, tuple) and len(out) == 2:
+            color, counters = out
+            if counters_out is not None:
+                c = np.asarray(counters)
+                counters_out[:c.shape[0]] += c
+            return color
         return out
 
     key = jax.random.PRNGKey(cfg.seed)
@@ -234,6 +246,8 @@ def _timed_subset_render(scene, cfg, maps, fraction, seed=0):
     t0 = time.time()
     jax.block_until_ready(run_one(key, idx0))
     compile_s = time.time() - t0
+    if counters_out is not None:
+        counters_out[:] = 0  # don't count the warm-up tile
 
     t0 = time.perf_counter()
     for t in chosen:
@@ -402,6 +416,51 @@ def _bench_mesh_closest_hit():
     return out
 
 
+def _bench_full_gi():
+    """The headline every-layer frame: jensen.scn at 512^2 aa=1 with the
+    reference Makefile's active flag profile (Makefile:12: lt 128 ss 96
+    tt/st 512 md 128 it 960 -cf cone 1.0 -global 1M -gs 200 -gd .75) —
+    the 512^2 form of the published 4096^2 full-GI render (README.md:403:
+    169,452.5 s, 1.21e11 rays; 1/64 the pixels -> ~2,648 s pro-rated).
+    Reports estimated full-frame seconds + measured rays/s."""
+    jax = _init_jax()
+    import numpy as np
+    from gi_tpu.photon.trace import build_photon_maps
+    from gi_tpu.scene.scn import load_scene
+    from gi_tpu.utils.config import RenderConfig
+
+    scene = load_scene(f"{INPUT}/jensen.scn")
+    cfg = RenderConfig(width=512, height=512, aa=1,
+                       light_test=128, shadow_test=96,
+                       transmissive_test=512, specular_test=512,
+                       max_monte_depth=128, indirect_test=960,
+                       caustic_filter=1, filter_const_k=1.0,
+                       global_photon_count=1_000_000,
+                       global_estimate_size=200, global_estimate_dist=0.75,
+                       caustic_photon_count=2_000_000,
+                       ray_tile=4096)
+    t0 = time.time()
+    maps, cfg = build_photon_maps(scene, cfg, jax.random.PRNGKey(5))
+    maps_s = time.time() - t0
+    stats = np.zeros(16, np.int64)
+
+    est_s, compile_s, frac = _timed_subset_render(scene, cfg, maps, 1 / 32,
+                                                  counters_out=stats)
+    total_rays_est = int(stats[:7].sum() / frac)
+    return {
+        "metric": "full_gi_jensen_512_seconds",
+        "value": round(est_s, 2),
+        "unit": "s/frame",
+        # pro-rated from the published 4096^2/2-day render (README.md:403)
+        "vs_baseline": round(169452.5 / 64.0 / est_s, 2),
+        "compile_s": round(compile_s, 1),
+        "photon_maps_s": round(maps_s, 1),
+        "sampled_fraction": round(frac, 4),
+        "est_total_rays": total_rays_est,
+        "rays_per_s": round(total_rays_est / max(est_s, 1e-9), 1),
+    }
+
+
 _RUNGS = {
     "caustic_photons_stored_per_s": lambda: _bench_photon_trace(
         2_000_000, "caustic_photons_stored_per_s", 3.33e5, save_10m=True),
@@ -410,6 +469,7 @@ _RUNGS = {
     "mesh_closest_hit_rays_per_s": _bench_mesh_closest_hit,
     "caustic_photons_50M": lambda: _bench_photon_trace(
         50_000_000, "caustic_photons_50M", 3.33e5, double_run=False),
+    "full_gi_jensen_512_seconds": _bench_full_gi,
 }
 
 

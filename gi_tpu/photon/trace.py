@@ -368,14 +368,25 @@ def emit_round(scene: Scene, cfg: RenderConfig, key, counts: tuple,
                 bufs = tuple(b.at[oidx].set(c, mode="drop")
                              for b, c in zip(s["bufs"], cols))
                 flag = s["flag"].at[oidx].set(True, mode="drop")
-            ooff = jnp.cumsum(want_over.astype(jnp.int32)) - 1
-            oslot = jnp.where(want_over, s["ocount"] + ooff, OCAP)
-            obufs = tuple(b.at[oslot].set(c, mode="drop")
-                          for b, c in zip(s["obufs"], cols))
+            # The overflow scatter is full-width (R index rows into OCAP)
+            # — ~7 R-sized scatters per bounce if run unconditionally,
+            # which measured 2.3x on the whole trace.  Almost every bounce
+            # has ZERO overflow stores (a re-armed lane needs a mixed
+            # kd+ks/kt material), so gate the scatter behind a cond.
+            def do_overflow(args):
+                obufs_, ocount_ = args
+                ooff = jnp.cumsum(want_over.astype(jnp.int32)) - 1
+                oslot = jnp.where(want_over, ocount_ + ooff, OCAP)
+                return (tuple(b.at[oslot].set(c, mode="drop")
+                              for b, c in zip(obufs_, cols)),
+                        ocount_ + jnp.sum(want_over, dtype=jnp.int32))
+
+            obufs, ocount = jax.lax.cond(
+                jnp.any(want_over), do_overflow, lambda a: a,
+                (s["obufs"], s["ocount"]))
             extra = dict(
                 flag=flag, orig=s["orig"], has=s["has"] | want,
-                obufs=obufs,
-                ocount=s["ocount"] + jnp.sum(want_over, dtype=jnp.int32))
+                obufs=obufs, ocount=ocount)
         else:
             offset = jnp.cumsum(want.astype(jnp.int32)) - 1
             slot = jnp.where(want, s["count"] + offset, cap)  # cap: dropped

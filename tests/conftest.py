@@ -30,6 +30,27 @@ import pytest  # noqa: E402
 
 REFERENCE_INPUT = "/root/reference/input"
 
+# Modules whose tests run minutes each (interpret-mode Pallas kernels,
+# 2-process subprocess meshes, photon-map builds at depth): auto-marked
+# `slow` so the pre-commit tier stays under ~10 minutes:
+#     python -m pytest tests/ -m "not slow" -q      # fast tier
+#     python -m pytest tests/ -q                    # everything
+# Timings recorded in docs/TESTING.md.
+_SLOW_MODULES = {
+    "test_pallas_gather.py",
+    "test_dist.py",
+    "test_mapshard.py",
+    "test_golden_extra.py",
+    "test_montecarlo.py",
+    "test_grad.py",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if os.path.basename(str(item.fspath)) in _SLOW_MODULES:
+            item.add_marker(pytest.mark.slow)
+
 
 @pytest.fixture(scope="session")
 def cornell_scene():
