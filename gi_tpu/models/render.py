@@ -104,54 +104,48 @@ def render_tile(scene: Scene, cfg: RenderConfig, key, pixel_idx: jnp.ndarray,
     return color, counters
 
 
-def _answer_queue_host(grid, q, color, est_size, est_dist, filt, cfg,
-                       cached: bool = False):
-    """Answer a deferred GatherQueue outside the tile program: slice the
-    filled prefix (bucketed to 8192 rows for compile-cache stability), run
-    ONE right-sized batched gather, scatter-add est*weight at the queue
-    rows.  Returns (color, n_dropped).  The host slice is what makes big
-    maps affordable: queue capacity is one request per walk lane (~2.1M at
-    the reference's -tt/-st 128 expansion) but the filled prefix is
-    typically a few thousand."""
-    from ..photon import gather as G
+@partial(jax.jit, static_argnames=())
+def _dedupe_queue(d, rows):
+    """EXACT dedupe of a queue slice: non-distributed transmissive/specular
+    spawns trace -tt/-st identical rays (the reference averages up to 128
+    identical samples, raytracer.cpp:57-110), so most requests are copies
+    of the same (row, point) with the same estimate — sort, segment, and
+    merge their weights so each distinct query is answered once (central
+    caustic tiles: ~500k requests -> a few thousand distinct).
 
-    cap = q.row.shape[0]
-    count = int(q.count)
-    n = min(count, cap)
-    if n == 0:
-        return color, max(count - cap, 0)
-    def _bucket(m):
-        # 1x / 1.5x power-of-two steps: few distinct compile shapes
-        # (every distinct slice size compiles its own gather executable,
-        # ~minutes through the remote-compile tunnel), <= 33% overshoot
-        p2 = 1 << max(13, (m - 1).bit_length())
-        return p2 if m > 3 * p2 // 4 else 3 * p2 // 4
+    key = (row, point xyz, bounce-x, cos_theta): the bounce/ct fields
+    discriminate coincident points reached by DIFFERENT walk bounces
+    (e.g. a specular loop re-hitting a point at a later depth), whose
+    estimates differ even though the position matches (ADVICE r4).
 
-    bucket = min(cap, _bucket(n))
-    d = [c[:bucket] for c in q.data]
-    rows = q.row[:bucket]
-
-    # EXACT dedupe: non-distributed transmissive/specular spawns trace
-    # -tt/-st identical rays (the reference averages up to 128 identical
-    # samples, raytracer.cpp:57-110), so most requests are copies of the
-    # same (row, point) with the same estimate — merge their weights and
-    # answer each distinct query once (central caustic tiles: ~500k
-    # requests -> a few thousand distinct).
-    # key = (row, point xyz, bounce-x, cos_theta): the bounce/ct fields
-    # discriminate coincident points reached by DIFFERENT walk bounces
-    # (e.g. a specular loop re-hitting a point at a later depth), whose
-    # estimates differ even though the position matches (ADVICE r4)
+    Jitted: this ran as ~25 eager ops over up-to-524288-row arrays and
+    dominated the caustic-rung tile time (~12 s/tile warm on a remote
+    device; fused it is milliseconds)."""
     key_sorted = jnp.lexsort((d[9][:], d[6][:], d[2][:], d[1][:], d[0][:],
                               rows))
-    ds = [c[key_sorted] for c in d]
+    ds = tuple(c[key_sorted] for c in d)
     rs = rows[key_sorted]
     neq = ((rs[1:] != rs[:-1]) | (ds[0][1:] != ds[0][:-1])
            | (ds[1][1:] != ds[1][:-1]) | (ds[2][1:] != ds[2][:-1])
            | (ds[6][1:] != ds[6][:-1]) | (ds[9][1:] != ds[9][:-1]))
     uniq = jnp.concatenate([jnp.ones((1,), bool), neq])
     seg = jnp.cumsum(uniq.astype(jnp.int32)) - 1
-    n_u = int(seg[-1]) + 1
-    bucket_u = min(bucket, _bucket(n_u))
+    return ds, rs, seg, seg[-1] + 1
+
+
+@partial(jax.jit, static_argnames=("bucket_u", "est_size", "est_dist",
+                                   "filt", "cfg", "cached", "cap"))
+def _answer_dedup(grid, ds, rs, seg, n_u, color, *, bucket_u, est_size,
+                  est_dist, filt, cfg, cached, cap):
+    """Scatter the deduped queries into a bucket_u-row batch, run ONE
+    batched radiance estimate, scatter-add est*weight at the queue rows.
+    Dead rows (>= n_u) get points far OUTSIDE the grid: a zero-filled dead
+    row sits at the origin, and on caustic maps the origin is the focus
+    hotspot — thousands of padded rows each streaming the densest cell
+    measured as tens of seconds per tile."""
+    from ..photon import gather as G
+
+    bucket = rs.shape[0]
     # duplicates have IDENTICAL fields, so scatter-set per segment is
     # order-independent; weights scatter-ADD (the merge)
     rep = [jnp.zeros((bucket,), c.dtype).at[seg].set(c)[:bucket_u]
@@ -161,7 +155,8 @@ def _answer_queue_host(grid, q, color, est_size, est_dist, filt, cfg,
     rep_rows = jnp.full((bucket,), cap, jnp.int32).at[seg].set(
         rs)[:bucket_u]
 
-    pt = jnp.stack(rep[0:3], 1)
+    live = jnp.arange(bucket_u) < n_u
+    pt = jnp.where(live[:, None], jnp.stack(rep[0:3], 1), 1e9)
     nm = jnp.stack(rep[3:6], 1)
     bo = jnp.stack(rep[6:9], 1)
     ct = rep[9]
@@ -175,7 +170,42 @@ def _answer_queue_host(grid, q, color, est_size, est_dist, filt, cfg,
     else:
         est = G.estimate_radiance(grid, pt, nm, bo, ct, kd, ks, sh_,
                                   est_size, est_dist, filt, cfg)
-    color = color.at[rep_rows].add(est * w, mode="drop")
+    return color.at[rep_rows].add(est * w, mode="drop")
+
+
+def _answer_queue_host(grid, q, color, est_size, est_dist, filt, cfg,
+                       cached: bool = False):
+    """Answer a deferred GatherQueue outside the tile program: slice the
+    filled prefix (bucketed to 8192 rows for compile-cache stability),
+    dedupe, run ONE right-sized batched gather, scatter-add est*weight at
+    the queue rows.  Returns (color, n_dropped).  The host slice is what
+    makes big maps affordable: queue capacity is one request per walk lane
+    (~2.1M at the reference's -tt/-st 128 expansion) but the filled prefix
+    is typically a few thousand.  Exactly two host syncs: the filled count
+    and the distinct count (each picks a static bucket shape)."""
+    cap = q.row.shape[0]
+    count = int(q.count)
+    n = min(count, cap)
+    if n == 0:
+        return color, max(count - cap, 0)
+
+    def _bucket(m):
+        # 1x / 1.5x power-of-two steps: few distinct compile shapes
+        # (every distinct slice size compiles its own gather executable,
+        # ~minutes through the remote-compile tunnel), <= 33% overshoot
+        p2 = 1 << max(13, (m - 1).bit_length())
+        return p2 if m > 3 * p2 // 4 else 3 * p2 // 4
+
+    bucket = min(cap, _bucket(n))
+    d = tuple(c[:bucket] for c in q.data)
+    rows = q.row[:bucket]
+    ds, rs, seg, n_u_dev = _dedupe_queue(d, rows)
+    n_u = int(n_u_dev)
+    bucket_u = min(bucket, _bucket(n_u))
+    color = _answer_dedup(grid, ds, rs, seg, n_u_dev, color,
+                          bucket_u=bucket_u, est_size=est_size,
+                          est_dist=est_dist, filt=filt, cfg=cfg,
+                          cached=cached, cap=cap)
     return color, max(count - cap, 0)
 
 

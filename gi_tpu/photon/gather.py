@@ -97,8 +97,12 @@ class ShardedMaps:
 
 # v2-gather subcell table policy: maps at/above this photon count get a
 # per-cell subcell index (the τ-derivation table); below it, the v1
-# 27-window streaming path is cheap anyway.
-_SUBDIV_MIN_PHOTONS = 1 << 20
+# 27-window streaming path is cheap anyway.  (Round 5: lowered 2^20 ->
+# 2^17 — the v2 kernel's double-buffered accumulator stream is now
+# strictly faster than v1's per-chunk histogram reductions for any map
+# wide enough to have multi-chunk windows, e.g. the full-GI profile's
+# 1M-photon global map.)
+_SUBDIV_MIN_PHOTONS = 1 << 17
 _SUBDIV_MAX_ENTRIES = 1 << 24
 
 
@@ -347,6 +351,94 @@ def _estimate_chunk_brute(grid, point, normal, exact_bounce, cos_theta, kd,
                             jnp.ones_like(top_d2, jnp.float32))
 
 
+def _estimate_chunk_hist(grid, point, normal, exact_bounce, cos_theta, kd,
+                         ks, shin, estimate_size, estimate_dist,
+                         filter_type, cfg):
+    """EstimateRadiance for one query chunk over a SMALL map, selection-free:
+    the K-th-neighbor radius comes from count-below-edge refinement (3
+    levels x 32 edges -> cap^2/32768 resolution, the same tie-shell
+    semantics as the Pallas kernels) and the filtered flux sum is a masked
+    reduction over the full photon axis — no top_k.
+
+    Why: the exact brute path's lax.top_k over [B, N] dominated the
+    indirect rung (measured 447 ms vs 66 ms for the distance pass alone at
+    B=262k, N=2304); this path computes the same estimate to kernel-grade
+    accuracy in ~2 masked passes.  Selected on TPU for big query batches
+    against sub-Pallas-size maps (see estimate_radiance)."""
+    K = int(estimate_size)
+    B = point.shape[0]
+    cap2 = jnp.float32(float(estimate_dist) ** 2)
+    NB = 32
+
+    d2 = jnp.sum((grid.pos[None] - point[:, None]) ** 2, axis=-1)  # [B,N]
+    d2 = jnp.where(grid.valid[None], d2, jnp.inf)
+
+    lo = jnp.zeros((B, 1), jnp.float32)
+    w = jnp.full((B, 1), cap2 / NB)
+    edges_u = jnp.arange(1, NB + 1, dtype=jnp.float32)[None]
+    total = jnp.sum(d2 <= cap2, axis=1, keepdims=True).astype(jnp.float32)
+    for _ in range(3):
+        edges = lo + w * edges_u                             # [B,NB]
+        cnt = jnp.sum((d2[:, :, None] <= edges[:, None, :]).astype(
+            jnp.float32), axis=1)                            # [B,NB]
+        kb = jnp.sum((cnt < K).astype(jnp.float32), axis=1,
+                     keepdims=True)
+        lo = lo + jnp.minimum(kb, jnp.float32(NB - 1)) * w
+        w = w / NB
+    tau = jnp.where(total < K, cap2, lo + w * NB)            # [B,1]
+
+    include = d2 <= tau
+    flux = grid.power.astype(jnp.float32)                    # [N,3]
+    incident = S.decode_direction(grid.dir_code)             # [N,3]
+    perp = jnp.einsum("bj,nj->bn", normal, incident)
+    sgn = jnp.sign(cos_theta)[:, None]
+    use = include & ~(perp * sgn > 0)
+    cos_a = jnp.maximum(-jnp.einsum("bj,nj->bn", exact_bounce, incident),
+                        0.0)
+    pow_a = jnp.exp(shin[:, None] * jnp.log(jnp.maximum(cos_a, 1e-30)))
+    base = jnp.abs(perp)
+    usf = use.astype(jnp.float32)
+    cnt_in = jnp.sum(include.astype(jnp.float32), axis=1, keepdims=True)
+    maxd2 = jnp.where(total < K, cap2,
+                      jnp.maximum(jnp.max(jnp.where(include, d2, 0.0),
+                                          axis=1, keepdims=True), 1e-6))
+
+    def contrib(extra=None):
+        out = []
+        for ch in range(3):
+            c = flux[None, :, ch] * (base * kd[:, ch:ch + 1]
+                                     + pow_a * ks[:, ch:ch + 1]) * usf
+            if extra is not None:
+                c = c * extra
+            out.append(jnp.sum(c, axis=1))
+        return jnp.stack(out, axis=1)                        # [B,3]
+
+    DISK, CONE, GAUSS = 0, 1, 2
+    if filter_type == CONE:
+        f_k = jnp.float32(cfg.filter_const_k)
+        # clamp to cap2 so invalid photons' inf d2 can't make 0*inf = NaN
+        # through the masked contribution product
+        d = jnp.sqrt(jnp.clip(d2, 1e-12, cap2))
+        acc = contrib()
+        accd = contrib(d)
+        r = jnp.sqrt(maxd2)
+        est = (acc - accd / (f_k * r)) / (
+            (1.0 - 2.0 / (3.0 * f_k)) * jnp.pi * maxd2)
+    elif filter_type == GAUSS:
+        f_a = jnp.float32(cfg.filter_const_a)
+        f_b = jnp.float32(cfg.filter_const_b)
+        c1 = jnp.exp(-f_b)
+        wgt = 1.0 - (1.0 - jnp.exp(-f_b * d2 / (2.0 * maxd2))) / (1.0 - c1)
+        accw = contrib(wgt)
+        total_w = jnp.sum(wgt * usf, axis=1, keepdims=True)
+        norm = jnp.where(total_w > 0, f_a * cnt_in /
+                         jnp.maximum(total_w, 1e-30), 0.0)
+        est = accw * (norm / (jnp.pi * maxd2))
+    else:
+        est = contrib() / (jnp.pi * maxd2)
+    return jnp.where(cnt_in > 0, est, 0.0)
+
+
 def _finish_estimate(grid, point, normal, exact_bounce, cos_theta, kd, ks,
                      shin, K, estimate_dist, filter_type, cfg,
                      top_d2, gidx, flux_scale):
@@ -452,8 +544,18 @@ def estimate_radiance(grid: PhotonGrid, point, normal, exact_bounce,
             estimate_size, estimate_dist, filter_type, cfg,
             interpret=(I._PALLAS_MODE == "interpret"))
     chunk_fn = _estimate_chunk_brute
-    chunk = min(chunk, 512)
     B = point.shape[0]
+    from ..ops import intersect as I
+    if (not cfg.differentiable and B >= 8192
+            and grid.pos.shape[0] <= 16384
+            and I._default_platform() == "tpu"):
+        # big query batch vs small map (the indirect rung's shape): the
+        # selection-free histogram estimator; chunk sized to keep the
+        # [chunk, N] distance plane ~256 MB
+        chunk_fn = _estimate_chunk_hist
+        chunk = max(2048, min(32768, (1 << 26) // grid.pos.shape[0]))
+    else:
+        chunk = min(chunk, 512)
     if B <= chunk:
         return chunk_fn(grid, point, normal, exact_bounce, cos_theta,
                         kd, ks, shin, estimate_size, estimate_dist,

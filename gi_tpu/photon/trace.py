@@ -853,25 +853,68 @@ def trace_photon_map(scene: Scene, cfg: RenderConfig, key, map_type: int,
     if stored == 0:
         return None, stats
 
+    # Quantized round sizes overshoot small goals by up to a whole round
+    # (a 2176-photon global map came out 16384 photons — 7.5x the
+    # configured width, and every radiance estimate streamed the excess).
+    # Keep exactly `goal` photons — the reference's per-thread quota stop
+    # (photonmap.cpp:163-198) — chosen by a SYSTEMATIC STRIDE over the
+    # store order (a plain prefix over-samples the first light/cone:
+    # lane order is structured by emission target) and renormalized
+    # per-channel so total stored flux is preserved EXACTLY.  The kept
+    # width is deterministic, so grid/gather executables cache across
+    # runs.
+    keep = min(stored, goal)
+    stats["kept"] = keep
+
     # power normalization (photonmap.cpp:341-357)
     photon_power = total_power / emitted
     if use_dev_acc:
-        # slice the device accumulators to the power-of-two bucket of the
-        # stored count (build_grid's compile-cache bucketing) and mark the
-        # tail invalid — no host round-trip of the photon payload at all
-        n_bucket = max(1024, 1 << int(np.ceil(np.log2(max(stored, 1)))))
+        # gather the systematic sample at the 1x/1.5x power-of-two bucket
+        # of the kept count (build_grid's compile-cache bucketing; the
+        # pure power-of-two bucket padded a 50M map to 67M rows — a third
+        # more HBM through the grid build for nothing), tail invalid —
+        # no host round-trip of the photon payload at all
+        p2 = 1 << int(np.ceil(np.log2(max(keep, 1))))
+        n_bucket = max(1024, 3 * p2 // 4 if keep <= 3 * p2 // 4 else p2)
         n_bucket = min(n_bucket, acc[0].shape[0])
-        pos = jnp.stack([a[:n_bucket] for a in acc[0:3]], axis=-1)
-        power = jnp.stack([a[:n_bucket] for a in acc[3:6]],
-                          axis=-1) * photon_power
-        dircode = acc[6][:n_bucket]
-        valid = jnp.arange(n_bucket) < stored
+        if keep < stored:
+            sel = jnp.minimum(
+                (jnp.arange(n_bucket, dtype=jnp.int64) * stored) // keep,
+                stored - 1).astype(jnp.int32)
+            # rows past `stored` were never written (zeros), so the
+            # full-buffer sum IS the population flux — shape-stable
+            w_all = jnp.stack([jnp.sum(a) for a in acc[3:6]])
+            kept_w = [a[sel] for a in acc[3:6]]
+            vmask = jnp.arange(n_bucket) < keep
+            w_keep = jnp.stack(
+                [jnp.sum(jnp.where(vmask, w, 0.0)) for w in kept_w])
+            scale = jnp.where(w_keep > 0, w_all / w_keep, 1.0)
+            pos = jnp.stack([a[sel] for a in acc[0:3]], axis=-1)
+            power = jnp.stack(kept_w, axis=-1) * (photon_power * scale)
+            dircode = acc[6][sel]
+        else:
+            pos = jnp.stack([a[:n_bucket] for a in acc[0:3]], axis=-1)
+            power = jnp.stack([a[:n_bucket] for a in acc[3:6]],
+                              axis=-1) * photon_power
+            dircode = acc[6][:n_bucket]
+        valid = jnp.arange(n_bucket) < keep
         jax.block_until_ready(pos)
         acc = None  # free the accumulators before the grid build peak
     else:
-        pos = jnp.asarray(h_pos[:stored])
-        dircode = jnp.asarray(h_dir[:stored])
-        power = jnp.asarray(h_pow[:stored] * np.float32(photon_power))
+        if keep < stored:
+            sel = (np.arange(keep, dtype=np.int64) * stored) // keep
+            pos_h, pow_h, dir_h = h_pos[sel], h_pow[sel], h_dir[sel]
+            w_all = h_pow[:stored].sum(axis=0)
+            w_keep = pow_h.sum(axis=0)
+            scale = np.where(w_keep > 0, w_all / w_keep, 1.0)
+        else:
+            pos_h, pow_h, dir_h = (h_pos[:keep], h_pow[:keep],
+                                   h_dir[:keep])
+            scale = np.ones(3, np.float32)
+        pos = jnp.asarray(pos_h)
+        dircode = jnp.asarray(dir_h)
+        power = jnp.asarray(pow_h * (np.float32(photon_power)
+                                     * scale.astype(np.float32)))
         valid = jnp.ones((pos.shape[0],), bool)
 
     est_dist = (cfg.global_estimate_dist if map_type == MAP_GLOBAL

@@ -47,7 +47,9 @@ class RenderStats:
     def add(self, vec) -> None:
         import numpy as np
         v = np.asarray(vec, np.int64)
-        for i in range(N_COUNTERS):
+        # tolerate shorter vectors (counters recorded before a counter
+        # was added, e.g. replayed from checkpoints or older callers)
+        for i in range(min(N_COUNTERS, v.shape[0])):
             self.counts[i] += int(v[i])
 
     @property

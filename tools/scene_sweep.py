@@ -27,6 +27,8 @@ import sys
 import time
 import traceback
 
+import numpy as np
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
@@ -40,6 +42,8 @@ def parse_args(argv):
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--timeout", type=float, default=600.0,
                     help="skip remaining scenes when total wall exceeds")
+    ap.add_argument("--resume", action="store_true",
+                    help="skip scenes whose PNG already exists in --out")
     return ap.parse_args(argv)
 
 
@@ -133,6 +137,16 @@ def main(argv=None):
     results = {}
     record = {}
     for name in scenes:
+        png = os.path.join(args.out, name[:-4] + ".png")
+        if args.resume and os.path.exists(png):
+            from gi_tpu.utils.image import read_image
+            img = read_image(png)[::-1]  # back to row-0-bottom
+            results[name] = {"img": img}
+            record[name] = {"ok": True, "resumed": True,
+                            "mean": float(img.mean()),
+                            "nonzero_frac": float((img.sum(-1) > 0).mean()),
+                            "finite": bool(np.isfinite(img).all())}
+            continue
         if time.time() - t_start > args.timeout:
             record[name] = {"skipped": "sweep timeout"}
             results[name] = {}
